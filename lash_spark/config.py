@@ -1,0 +1,167 @@
+"""Run parameters + compatibility validation + LSH planning.
+
+Mirrors the reference's parameter map semantics (k / algorithm / precision /
+seed recorded at sketch time, validated before the distance phase —
+``/root/reference/src/main.rs:254-276,362-381``) and adds the LSH
+band-planning the reference does not have (it does all-pairs).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import asdict, dataclass, field
+
+ALGORITHMS = ("minhash", "hll", "ull", "hmh", "simhash")
+DISTANCE_MODELS = (1, 2)  # 1 = poisson (reference default), 2 = binomial
+
+
+@dataclass(frozen=True)
+class SketchParams:
+    """Engine analog of the reference's ``*_parameters.json``.
+
+    Defaults mirror the reference CLI defaults
+    (``/root/reference/src/main.rs:55,74,84,94,159``): k=16, hmh→(we default
+    to minhash as the primary signature, hmh available), precision=10,
+    seed=42, poisson distance model. ``shingle_k`` is the *character*
+    k-gram width — the text analog of the reference's k-mer k.
+    """
+
+    shingle_k: int = 16
+    algorithm: str = "minhash"
+    num_perm: int = 128          # MinHash permutations (signature length)
+    precision: int = 10          # 2^p registers for hll/ull/hmh
+    seed: int = 42
+    distance_model: int = 1      # 1=poisson, 2=binomial (main.rs:415-423)
+    normalize_version: int = 1   # frozen text-normalization version
+
+    def __post_init__(self) -> None:
+        if self.algorithm not in ALGORITHMS:
+            raise ValueError(f"unknown algorithm {self.algorithm!r}; one of {ALGORITHMS}")
+        if not (1 <= self.shingle_k <= 64):
+            raise ValueError("shingle_k must be in [1, 64]")
+        if self.num_perm < 8 or self.num_perm % 8 != 0:
+            raise ValueError("num_perm must be a multiple of 8, >= 8")
+        if not (4 <= self.precision <= 16):
+            raise ValueError("precision must be in [4, 16]")
+        if self.distance_model not in DISTANCE_MODELS:
+            # reference panics on unknown model (main.rs:421)
+            raise ValueError(f"distance model must be one of {DISTANCE_MODELS}")
+
+    @property
+    def num_registers(self) -> int:
+        return 1 << self.precision
+
+    def params_hash(self) -> str:
+        """Stable content hash pinning the run config (incl. normalization)."""
+        import hashlib
+
+        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "SketchParams":
+        return cls(**json.loads(s))
+
+    def validate_compatible(self, other: "SketchParams") -> None:
+        """F6: k / algorithm / precision must match between two signature
+        sets before any pair phase (reference panics — main.rs:368-381)."""
+        if self.shingle_k != other.shingle_k:
+            raise ValueError(
+                f"kmer length of query and reference must match: "
+                f"{self.shingle_k} != {other.shingle_k}"
+            )
+        if self.algorithm != other.algorithm:
+            raise ValueError(
+                f"sketching algorithm of query and reference must match: "
+                f"{self.algorithm} != {other.algorithm}"
+            )
+        if self.algorithm in ("hll", "ull", "hmh") and self.precision != other.precision:
+            raise ValueError(
+                f"precision of query and reference must match: "
+                f"{self.precision} != {other.precision}"
+            )
+        if self.seed != other.seed:
+            raise ValueError(f"seed mismatch: {self.seed} != {other.seed}")
+        if self.normalize_version != other.normalize_version:
+            raise ValueError("normalization version mismatch — text invariant broken")
+
+
+@dataclass(frozen=True)
+class LshPlan:
+    """(bands b, rows r) plan for MinHash LSH at a Jaccard threshold.
+
+    The S-curve P(candidate | J=s) = 1 - (1 - s^r)^b. No reference
+    counterpart (the reference does all-pairs); this is the engine-level
+    planner SURVEY.md §4.2(4) calls for.
+    """
+
+    bands: int
+    rows: int
+
+    @property
+    def num_perm(self) -> int:
+        return self.bands * self.rows
+
+    def candidate_probability(self, jaccard: float) -> float:
+        return 1.0 - (1.0 - jaccard**self.rows) ** self.bands
+
+    @classmethod
+    def plan(cls, num_perm: int, threshold: float, min_recall: float = 0.99) -> "LshPlan":
+        """Pick (b, r) with b*r = num_perm maximizing precision subject to
+        P(candidate | J=threshold) >= min_recall (falls back to the highest-
+        recall plan if none meets it)."""
+        best = None
+        for r in range(1, num_perm + 1):
+            if num_perm % r:
+                continue
+            b = num_perm // r
+            p = cls(b, r)
+            rec = p.candidate_probability(threshold)
+            # prefer: meets recall, then larger r (fewer junk candidates)
+            key = (rec >= min_recall, r if rec >= min_recall else 0, rec)
+            if best is None or key > best[0]:
+                best = (key, p)
+        assert best is not None
+        return best[1]
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Full dedup-pipeline knobs (candidate generation + verify + cluster)."""
+
+    params: SketchParams = field(default_factory=SketchParams)
+    jaccard_threshold: float = 0.8
+    lsh_min_recall: float = 0.995
+    # hot-band skew control (SURVEY.md O2): buckets larger than this are
+    # star-linked to their min-id representative instead of all-pairs.
+    max_band_bucket: int = 2000
+    # simhash hamming-ball
+    simhash_chunks: int = 4
+    simhash_max_hamming: int = 3
+    # exact-substring pass
+    substring_min_len: int = 256
+    # clustering
+    cc_max_iterations: int = 50
+
+    def lsh_plan(self) -> LshPlan:
+        return LshPlan.plan(self.params.num_perm, self.jaccard_threshold, self.lsh_min_recall)
+
+
+def mash_distance(jaccard: float, k: int, model: int = 1) -> float:
+    """Scalar reference formulas (column versions live in estimators.py).
+
+    frac = 2J/(1+J) (utils.rs:164-167); poisson d = min(-ln(frac)/k, 1)
+    (main.rs:419); binomial d = 1 - frac^(1/k) (main.rs:420).
+    """
+    if jaccard <= 0.0:
+        return 1.0
+    frac = 2.0 * jaccard / (1.0 + jaccard)
+    if model == 1:
+        return min(-math.log(frac) / k, 1.0)
+    if model == 2:
+        return 1.0 - frac ** (1.0 / k)
+    raise ValueError("distance model must be 1 or 2")

@@ -1,0 +1,128 @@
+"""Vectorized 64-bit hashing kernels (numpy, no external hash libs).
+
+The reference uses seeded xxh3 (``/root/reference/src/hasher.rs:4-17``,
+``src/utils.rs:397,412,428``). Bit-compatibility with xxh3 is NOT required
+(the acceptance bar is dup-pair recall vs fixtures at the same config, not
+hash equality — SURVEY.md §2.2 T7), so we use a splitmix64-family
+multiply–xor–shift mixer that vectorizes cleanly in numpy.
+
+All functions operate on uint64 arrays with modular (wrapping) arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U64 = np.uint64
+_M1 = U64(0xBF58476D1CE4E5B9)
+_M2 = U64(0x94D049BB133111EB)
+_GOLDEN = U64(0x9E3779B97F4A7C15)
+_ROLL_BASE = U64(0x100000001B3)  # FNV-ish odd multiplier for rolling window
+
+
+def mix64(x: np.ndarray | int) -> np.ndarray:
+    """splitmix64 finalizer: bijective 64-bit mixer (wrapping uint64)."""
+    x = np.atleast_1d(np.asarray(x, dtype=U64))
+    with np.errstate(over="ignore"):
+        x = x ^ (x >> U64(30))
+        x = x * _M1
+        x = x ^ (x >> U64(27))
+        x = x * _M2
+        return x ^ (x >> U64(31))
+
+
+def perm_keys(num_perm: int, seed: int) -> np.ndarray:
+    """Per-permutation xor keys, seeded (analog of the reference's
+    per-run seed, main.rs:94 default 42)."""
+    idx = np.arange(1, num_perm + 1, dtype=np.uint64)
+    return mix64(idx * _GOLDEN + U64(seed & 0xFFFFFFFFFFFFFFFF))
+
+
+def hash_with_seed(values: np.ndarray, seed: int) -> np.ndarray:
+    """Seeded element hash (T7 analog of xxh3_64_with_seed)."""
+    return mix64(np.asarray(values, dtype=U64) ^ mix64(U64(seed & 0xFFFFFFFFFFFFFFFF)))
+
+
+def clz64(x: np.ndarray) -> np.ndarray:
+    """Count leading zeros of uint64, vectorized (clz(0) = 64)."""
+    x = np.asarray(x, dtype=U64)
+    n = np.zeros(x.shape, dtype=np.int64)
+    y = x.copy()
+    for b in (32, 16, 8, 4, 2, 1):
+        mask = y < (U64(1) << U64(64 - b))
+        n = np.where(mask, n + b, n)
+        y = np.where(mask, y << U64(b), y)
+    return np.where(x == 0, 64, n)
+
+
+def rolling_window_hashes(buf: np.ndarray, k: int) -> np.ndarray:
+    """Hashes of every length-k byte window of ``buf`` (len n -> n-k+1).
+
+    Polynomial accumulation then mix64 — the text analog of the reference's
+    2-bit-packed k-mer windows (utils.rs:464-502), vectorized over the whole
+    buffer instead of per-record iteration.
+    """
+    n = buf.shape[0]
+    if n < k:
+        return np.empty(0, dtype=U64)
+    out = np.zeros(n - k + 1, dtype=U64)
+    b = buf.astype(U64)
+    for j in range(k):
+        out = out * _ROLL_BASE + b[j : n - k + 1 + j]
+    return mix64(out)
+
+
+def batch_shingle_hashes(
+    texts: "list[bytes]", k: int, unique: bool = True
+) -> "list[np.ndarray]":
+    """Per-document char k-gram hash sets for a whole Arrow batch.
+
+    Concatenates all documents into one byte buffer, computes rolling-window
+    hashes once, and slices per document (windows crossing document
+    boundaries are excluded by construction). Documents shorter than k yield
+    an empty array — the reference's min-length guard (utils.rs:460-462).
+    """
+    if not texts:
+        return []
+    lens = np.fromiter((len(t) for t in texts), count=len(texts), dtype=np.int64)
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
+    all_h = rolling_window_hashes(buf, k) if buf.shape[0] >= k else np.empty(0, dtype=U64)
+    out: list[np.ndarray] = []
+    for i in range(len(texts)):
+        if lens[i] < k:
+            out.append(np.empty(0, dtype=U64))
+            continue
+        h = all_h[offsets[i] : offsets[i] + lens[i] - k + 1]
+        out.append(np.unique(h) if unique else h)
+    return out
+
+
+def word_ngram_hashes(words: "list[str]", n: int, unique: bool = True) -> np.ndarray:
+    """Word n-gram hash set of one tokenized document (used by the exact
+    word-level Jaccard oracle path; char shingles are the scale path)."""
+    if len(words) < n:
+        return np.empty(0, dtype=U64)
+    wh = mix64(
+        np.fromiter(
+            (hash_bytes(w.encode("utf-8")) for w in words), count=len(words), dtype=U64
+        )
+    )
+    out = np.zeros(len(words) - n + 1, dtype=U64)
+    for j in range(n):
+        out = out * _ROLL_BASE + wh[j : len(words) - n + 1 + j]
+    out = mix64(out)
+    return np.unique(out) if unique else out
+
+
+def hash_bytes(data: bytes, seed: int = 0) -> int:
+    """Scalar 64-bit hash of a byte string (FNV-1a core + mix64 finalizer).
+
+    Python-level but only used off the hot path (word tokens in tests,
+    config hashing); the hot path is rolling_window_hashes.
+    """
+    h = 0xCBF29CE484222325 ^ (seed & 0xFFFFFFFFFFFFFFFF)
+    for byte in data:
+        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return int(mix64(np.array([h], dtype=U64))[0])

@@ -1,0 +1,161 @@
+"""Table catalog + lineage/metrics + checkpoint/resume (O6).
+
+Iceberg is the production target (partition transforms, snapshot resume);
+the sandbox has no Iceberg jars, so the catalog is an abstraction with two
+backends behind one API:
+
+- ``IcebergCatalog``: used when a Spark catalog with Iceberg support is
+  configured (``spark.sql.catalog.<name>``) — writeTo().append(),
+  overwritePartitions(), table properties for run params.
+- ``ParquetCatalog``: directory-of-parquet tables with identical layout +
+  a JSON sidecar for table properties. What tests run on.
+
+Resume semantics (north_rule): every stage records a completion marker
+keyed by params_hash; a rerun with the same params skips completed stages,
+and the signature stage additionally supports row-level delta resume via
+left_anti on already-signed ids.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+METRICS_TABLE = "stage_metrics"
+
+
+class ParquetCatalog:
+    """Directory-backed table catalog with Iceberg-shaped semantics."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # ---- tables
+    def path(self, table: str) -> str:
+        return str(self.root / table)
+
+    def exists(self, table: str) -> bool:
+        p = self.root / table
+        return p.exists() and (any(p.glob("*.parquet")) or any(p.glob("**/_SUCCESS")))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite", partition_by=None):
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
+
+    def append(self, df: DataFrame, table: str):
+        df.write.mode("append").parquet(self.path(table))
+
+    # ---- properties (Iceberg table-properties analog; holds run params —
+    # the reference's *_parameters.json, main.rs:254-276)
+    def set_properties(self, table: str, props: dict):
+        p = self.root / f"{table}.properties.json"
+        merged = self.properties(table)
+        merged.update(props)
+        p.write_text(json.dumps(merged, sort_keys=True, indent=1))
+
+    def properties(self, table: str) -> dict:
+        p = self.root / f"{table}.properties.json"
+        return json.loads(p.read_text()) if p.exists() else {}
+
+    # ---- stage checkpoints
+    def _marker(self, stage: str) -> Path:
+        d = self.root / "_stages"
+        d.mkdir(exist_ok=True)
+        return d / f"{stage}.json"
+
+    def stage_complete(self, stage: str, params_hash: str) -> bool:
+        m = self._marker(stage)
+        if not m.exists():
+            return False
+        info = json.loads(m.read_text())
+        return info.get("params_hash") == params_hash and info.get("status") == "complete"
+
+    def mark_stage(self, stage: str, params_hash: str, **extra):
+        self._marker(stage).write_text(
+            json.dumps({"stage": stage, "params_hash": params_hash, "status": "complete", **extra})
+        )
+
+    def clear_stage(self, stage: str):
+        m = self._marker(stage)
+        if m.exists():
+            m.unlink()
+
+    # ---- lineage / metrics rows (O6)
+    def log_metrics(
+        self,
+        stage: str,
+        params_hash: str,
+        wall_ms: float,
+        input_rows: int | None = None,
+        output_rows: int | None = None,
+        status: str = "complete",
+        **extra,
+    ):
+        row = {
+            "stage": stage,
+            "params_hash": params_hash,
+            "wall_ms": float(wall_ms),
+            "input_rows": input_rows,
+            "output_rows": output_rows,
+            "status": status,
+            "ts": time.time(),
+            "extra": json.dumps(extra, sort_keys=True) if extra else None,
+        }
+        df = self.spark.createDataFrame(
+            [row],
+            "stage string, params_hash string, wall_ms double, input_rows bigint, "
+            "output_rows bigint, status string, ts double, extra string",
+        )
+        self.append(df, METRICS_TABLE)
+
+    def metrics(self) -> DataFrame:
+        return self.read(METRICS_TABLE)
+
+
+def run_stage(
+    catalog: ParquetCatalog,
+    stage: str,
+    params_hash: str,
+    builder,
+    output_table: str | None = None,
+    partition_by=None,
+    count_output: bool = True,
+):
+    """Idempotent stage runner: skip when (stage, params_hash) completed and
+    the output table exists; otherwise build, write, log metrics, mark.
+
+    Returns the output DataFrame (read back from the table when skipped,
+    giving downstream stages a clean scan instead of a long lineage).
+    """
+    table = output_table or stage
+    if catalog.stage_complete(stage, params_hash) and catalog.exists(table):
+        return catalog.read(table), True
+    t0 = time.monotonic()
+    df = builder()
+    catalog.write(df, table, partition_by=partition_by)
+    out = catalog.read(table)
+    n = out.count() if count_output else None
+    catalog.log_metrics(stage, params_hash, (time.monotonic() - t0) * 1000, output_rows=n)
+    catalog.mark_stage(stage, params_hash, output_rows=n)
+    return out, False
+
+
+def resume_delta(
+    incoming: DataFrame, existing: DataFrame | None, id_col: str = "url"
+) -> DataFrame:
+    """Row-level resume: rows of ``incoming`` not yet present in
+    ``existing`` (left_anti on the id) — SURVEY.md §2.8."""
+    if existing is None:
+        return incoming
+    return incoming.join(existing.select(id_col).distinct(), id_col, "left_anti")

@@ -1,0 +1,104 @@
+"""Union-find connected components via large-star / small-star (O4).
+
+Iterative DataFrame self-joins (Kiveris et al., "Connected Components in
+MapReduce and Beyond") — O(log n) rounds even on path graphs, each round a
+single groupBy + join, with localCheckpoint() per iteration to truncate
+lineage (SURVEY.md §4.2(2)). No reference counterpart: the reference emits
+pairwise distances only; clustering is the north_rule's addition.
+
+Output: (node, component) where component = min node id in the component —
+matching the fixture convention (FIXTURES.md: cluster_id = min url).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """(src,dst) -> undirected canonical (src>dst), self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u."""
+    sym = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.withColumn("m", F.least("mn", "src")).drop("mn")
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Edges oriented src > dst. For each u: m = min(N_small(u) ∪ {u});
+    emit (v, m) for v in N_small(u) ∪ {u}, v != m."""
+    e = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    mins = e.groupBy("src").agg(F.min("dst").alias("m"))
+    nbr = (
+        e.join(mins, "src")
+        .where(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_e = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return nbr.unionByName(self_e).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Edge list -> (node, component) labels. Nodes appearing in no edge are
+    absent (caller left-joins and coalesces to self — see assign_clusters)."""
+    e = _canonical(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    e = e.localCheckpoint(eager=True)
+    prev_cnt = -1
+    for it in range(max_iterations):
+        e2 = _small_star(_large_star(e))
+        e2 = _canonical(e2)
+        if checkpoint_every and it % checkpoint_every == 0:
+            e2 = e2.localCheckpoint(eager=True)
+        # converged when the star-contracted edge set is stable
+        cnt = e2.count()
+        if cnt == prev_cnt and e2.exceptAll(e).isEmpty():
+            e = e2
+            break
+        prev_cnt = cnt
+        e = e2
+    # final edges are (node > root) stars; add roots' self-labels
+    labels = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = e.select(F.col("dst").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return labels.unionByName(roots).groupBy("node").agg(F.min("component").alias("component"))
+
+
+def assign_clusters(
+    docs: DataFrame, edges: DataFrame, id_col: str = "url", max_iterations: int = 50
+) -> DataFrame:
+    """(id) x dup-edges -> (id, cluster_id); singletons get their own id."""
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    comp = connected_components(edges, src=a, dst=b, max_iterations=max_iterations)
+    return (
+        docs.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )

@@ -1,0 +1,47 @@
+"""Text normalization (T1/T2/T3 analogs) — frozen, versioned, pure-Column.
+
+The reference's alphabet filters strip bytes outside a fixed alphabet
+(``/root/reference/src/utils.rs:33-55``); the text analog is a deterministic
+normalization whose output must be byte-identical per url across runs
+(BASELINE.json input_hint). VERSION 1 is frozen: lowercase → collapse
+whitespace runs to single spaces → trim. Any change bumps
+SketchParams.normalize_version and breaks fixture parity on purpose.
+
+Everything is JVM-side Column expressions (whole-stage codegen; no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NORMALIZE_VERSION = 1
+
+
+def normalize_text(col: Column | str) -> Column:
+    """V1 frozen normalization: lower, collapse \\s+ -> ' ', trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def with_normalized_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text", min_len: int = 1
+) -> DataFrame:
+    """Adds the normalized column and applies the min-length guard (T3,
+    utils.rs:460-462): docs shorter than one shingle survive the scan but
+    produce empty signatures downstream; docs with empty normalized text
+    are dropped here (nothing to sketch)."""
+    out = df.withColumn(out_col, normalize_text(text_col))
+    return out.filter(F.length(out_col) >= min_len)
+
+
+def html_to_text(html_col: Column | str) -> Column:
+    """Extraction stub for the (url, html:binary) ingest path: strips tags
+    from UTF-8 html. Real WARC extraction (trafilatura-class) is out of
+    sandbox scope; this keeps the plumbing (binary -> string -> normalize)
+    real and testable against synth.py's html wrapper."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    txt = c.cast("string")
+    no_script = F.regexp_replace(txt, r"(?s)<(script|style)[^>]*>.*?</\1>", " ")
+    no_tags = F.regexp_replace(no_script, r"<[^>]+>", " ")
+    return F.trim(F.regexp_replace(no_tags, r"\s+", " "))

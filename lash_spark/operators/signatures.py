@@ -1,0 +1,133 @@
+"""Signature stage: documents -> MinHash/SimHash/band/register columns.
+
+The engine analog of the reference's `sketch` entry point
+(``/root/reference/src/main.rs:180-246`` + ``src/utils.rs:437-509``): a
+map-only stage (scan → Arrow-batched numpy kernel → write), no shuffle —
+which is what makes it embarrassingly scalable (SURVEY.md §3.1).
+
+One pandas UDF computes MinHash + SimHash + LSH band hashes in a single
+pass over each Arrow batch (one shingling per document). Register sketches
+(HLL/ULL/HMH) are a second optional UDF, only materialized when the sketch-
+algebra path needs them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lash_spark.config import LshPlan, SketchParams
+from lash_spark.hashing import batch_shingle_hashes, perm_keys
+from lash_spark.sketches import (
+    EMPTY_MIN,
+    band_hashes,
+    hll_registers,
+    hmh_registers,
+    simhash64,
+    ull_registers,
+)
+
+SIGNATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("minhash", T.ArrayType(T.LongType()), False),
+        T.StructField("simhash", T.LongType(), False),
+        T.StructField("bands", T.ArrayType(T.LongType()), False),
+        T.StructField("n_shingles", T.LongType(), False),
+    ]
+)
+
+
+def _encode(texts: pd.Series) -> "list[bytes]":
+    return [t.encode("utf-8") if isinstance(t, str) else b"" for t in texts]
+
+
+def make_signature_udf(params: SketchParams, plan: LshPlan):
+    """Scalar pandas UDF: text -> struct(minhash, simhash, bands, n_shingles).
+
+    Whole pipeline for one Arrow batch: concat-buffer rolling k-gram hashes
+    (T4/T6), per-permutation min (A1/A2 analog), SimHash bit-votes (O3),
+    band folding (O1). All numpy; the per-row loop only slices arrays.
+    """
+    k = params.shingle_k
+    num_perm = params.num_perm
+    seed = params.seed
+    b_, r_ = plan.bands, plan.rows
+
+    @F.pandas_udf(SIGNATURE_SCHEMA)
+    def signature_udf(texts: pd.Series) -> pd.DataFrame:
+        from lash_spark.hashing import mix64  # re-import for worker pickling
+
+        keys = perm_keys(num_perm, seed)
+        hash_sets = batch_shingle_hashes(_encode(texts), k)
+        n = len(hash_sets)
+        sigs = np.full((n, num_perm), EMPTY_MIN, dtype=np.uint64)
+        simhashes = np.zeros(n, dtype=np.int64)
+        counts = np.zeros(n, dtype=np.int64)
+        for i, hs in enumerate(hash_sets):
+            if hs.size:
+                sigs[i] = mix64(hs[:, None] ^ keys[None, :]).min(axis=0)
+                simhashes[i] = simhash64(hs)
+                counts[i] = hs.size
+        bands = band_hashes(sigs, b_, r_, seed).view(np.int64)
+        sig_i64 = sigs.view(np.int64)
+        return pd.DataFrame(
+            {
+                "minhash": list(sig_i64),
+                "simhash": simhashes,
+                "bands": list(bands),
+                "n_shingles": counts,
+            }
+        )
+
+    return signature_udf
+
+
+def make_register_udf(params: SketchParams):
+    """Scalar pandas UDF: text -> array<int> register sketch for the
+    configured algorithm (hll | ull | hmh)."""
+    k, p, seed, alg = params.shingle_k, params.precision, params.seed, params.algorithm
+    kernel = {"hll": hll_registers, "ull": ull_registers, "hmh": hmh_registers}[alg]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def register_udf(texts: pd.Series) -> pd.Series:
+        hash_sets = batch_shingle_hashes(_encode(texts), k)
+        return pd.Series([kernel(hs, p, seed) for hs in hash_sets])
+
+    return register_udf
+
+
+def add_signatures(
+    df: DataFrame,
+    params: SketchParams,
+    plan: LshPlan | None = None,
+    text_col: str = "norm_text",
+) -> DataFrame:
+    """Append minhash/simhash/bands/n_shingles columns (map-only)."""
+    plan = plan or LshPlan.plan(params.num_perm, 0.8)
+    udf = make_signature_udf(params, plan)
+    sig = df.withColumn("_sig", udf(F.col(text_col)))
+    return sig.select("*", "_sig.minhash", "_sig.simhash", "_sig.bands", "_sig.n_shingles").drop(
+        "_sig"
+    )
+
+
+def add_register_sketch(
+    df: DataFrame, params: SketchParams, text_col: str = "norm_text", out_col: str = "regs"
+) -> DataFrame:
+    return df.withColumn(out_col, make_register_udf(params)(F.col(text_col)))
+
+
+def build_signatures(
+    docs: DataFrame,
+    params: SketchParams,
+    plan: LshPlan | None = None,
+    id_col: str = "url",
+    text_col: str = "norm_text",
+) -> DataFrame:
+    """The signatures table (D6 analog): (id, minhash, simhash, bands,
+    n_shingles). Narrow projection so the parquet scan prunes to
+    (id, text) only."""
+    return add_signatures(docs.select(id_col, text_col), params, plan, text_col).drop(text_col)

@@ -1,0 +1,101 @@
+"""Text analysis for training-data pipelines: quality scoring, token
+counting, language-ID heuristic, document fingerprinting.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — these run on
+every document at 100 TB, so no Python is allowed here at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# seeded marker lexicons for the n-gram/stopword language heuristic.
+# Deliberately tiny + deterministic: the point is the *operator* (argmax of
+# per-language evidence), not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "los", "que", "es", "una"),
+}
+
+STOPWORDS = ("a", "the", "and", "of", "to", "in", "is")
+
+
+def _words(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_chars / n_words / n_distinct_words / avg_word_len / stopword_ratio /
+    alpha_ratio — the quality-scoring feature row."""
+    w = _words(text_col)
+    t = F.col(text_col)
+    n_words = F.size(w)
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    alpha_chars = F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
+    return (
+        df.withColumn("n_chars", F.length(t).cast("long"))
+        .withColumn("n_words", n_words.cast("long"))
+        .withColumn("n_distinct_words", F.size(F.array_distinct(w)).cast("long"))
+        .withColumn(
+            "avg_word_len",
+            (F.length(F.regexp_replace(t, " ", "")).cast("double") / n_words),
+        )
+        .withColumn("stopword_ratio", stop_hits.cast("double") / n_words)
+        .withColumn("alpha_ratio", alpha_chars.cast("double") / F.length(t))
+    )
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    lexical diversity. Deterministic, documented weights."""
+    w = _words(text_col)
+    n_words = F.size(w).cast("double")
+    len_score = F.least(n_words / 100.0, F.lit(1.0))
+    stop_score = F.least(
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double") / (n_words * 0.05 + 1.0),
+        F.lit(1.0),
+    )
+    diversity = F.size(F.array_distinct(w)).cast("double") / n_words
+    return (0.4 * len_score + 0.3 * stop_score + 0.3 * diversity).alias("quality")
+
+
+def token_count(text_col: str = "text", pattern: str = r"[a-z0-9]+") -> Column:
+    """Regex token count (BPE-ish lowercase alnum runs) — JVM regexp, no UDF."""
+    return F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), 0))
+
+
+def lang_scores(text_col: str = "text") -> "list[Column]":
+    """Per-language marker-hit counts (distinct marker words present)."""
+    w = F.array_distinct(_words(F.lower(F.col(text_col))))
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        out.append(F.size(F.filter(w, lambda x: x.isin(*markers))).alias(f"score_{lang}"))
+    return out
+
+
+def detect_lang(text_col: str = "text") -> Column:
+    """argmax of marker evidence; 'und' (undetermined) when all scores 0.
+    Ties break by language-code order (deterministic)."""
+    w = F.array_distinct(_words(F.lower(F.col(text_col))))
+    scores = {
+        lang: F.size(F.filter(w, lambda x: x.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # fold a deterministic argmax: strictly-greater wins, so earlier langs
+    # win ties (dict order is fixed above)
+    expr = F.lit("und")
+    best_expr = F.lit(0)
+    for lang, s in scores.items():
+        expr = F.when(s > best_expr, F.lit(lang)).otherwise(expr)
+        best_expr = F.when(s > best_expr, s).otherwise(best_expr)
+    return expr
+
+
+def fingerprint(text_col: str = "norm_text") -> Column:
+    """128-bit content fingerprint (md5 of normalized text) — the engine's
+    document identity for exact-dup and lineage joins."""
+    return F.md5(F.col(text_col))
