@@ -65,21 +65,27 @@ def connected_components(
 ) -> DataFrame:
     """Edge list -> (node, component) labels. Nodes appearing in no edge are
     absent (caller left-joins and coalesces to self — see assign_clusters)."""
+    def _checksum(df: DataFrame):
+        """Order-insensitive (count, xor-of-row-hashes) set fingerprint —
+        one action per iteration instead of count + exceptAll."""
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
     e = _canonical(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     e = e.localCheckpoint(eager=True)
-    prev_cnt = -1
+    prev = _checksum(e)
     for it in range(max_iterations):
-        e2 = _small_star(_large_star(e))
-        e2 = _canonical(e2)
+        e2 = _canonical(_small_star(_large_star(e)))
         if checkpoint_every and it % checkpoint_every == 0:
             e2 = e2.localCheckpoint(eager=True)
-        # converged when the star-contracted edge set is stable
-        cnt = e2.count()
-        if cnt == prev_cnt and e2.exceptAll(e).isEmpty():
-            e = e2
-            break
-        prev_cnt = cnt
+        cur = _checksum(e2)
         e = e2
+        if cur == prev:  # star-contracted edge set stable -> converged
+            break
+        prev = cur
     # final edges are (node > root) stars; add roots' self-labels
     labels = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = e.select(F.col("dst").alias("node")).distinct().withColumn(

@@ -7,7 +7,7 @@ from lash_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="lash_spark_tests", master="local[4]", shuffle_partitions=8)
+    s = get_spark(app_name="lash_spark_tests", master="local[4]", shuffle_partitions=4)
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
