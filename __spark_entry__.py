@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``: flagship near-dup pipeline on sf0.001.
+``queries()``: one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query.
+
+Column names are aliased identically on both sides (the driver's compare
+sorts columns by name before hashing values).
 """
 
 from __future__ import annotations
@@ -12,27 +13,479 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from lash_spark.config import LshPlan, PipelineConfig, SketchParams
+from lash_spark.estimators import mash_distance_expr, shared_fraction_expr
+from lash_spark.operators.ann import brute_force_topk, cosine_expr, embedding_near_dup_pairs
+from lash_spark.operators.components import assign_clusters
+from lash_spark.operators.exact import exact_dup_pairs
+from lash_spark.operators.lsh import band_census, explode_bands, lsh_candidate_pairs
+from lash_spark.operators.normalize import normalize_text, with_normalized_text
+from lash_spark.operators.signatures import add_register_sketch, build_signatures
+from lash_spark.operators.substring import exact_substring_pairs
+from lash_spark.operators.textstats import detect_lang, token_count, with_text_stats
+from lash_spark.operators.verify import verify_pairs
+from lash_spark.pipeline import dedup_pipeline
+
+from lash_spark.operators.textstats import LANG_MARKERS, STOPWORDS
+
+K = 16  # reference default shingle width (main.rs:55)
+THRESHOLD = 0.8
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_normalized_text(_docs(spark, sf_dir), "text")
+
+
+def _params() -> SketchParams:
+    return SketchParams(shingle_k=K, num_perm=128, seed=42)
+
+
+def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates -> exact-Jaccard verify >= 0.8 (the flagship path)."""
+    docs = _normed(spark, sf_dir)
+    params = _params()
+    plan = LshPlan.plan(params.num_perm, THRESHOLD, 0.995)
+    sigs = build_signatures(docs, params, plan, id_col="doc_id")
+    cands = lsh_candidate_pairs(sigs, id_col="doc_id")
+    verified = verify_pairs(
+        cands, docs, params, id_col="doc_id", threshold=THRESHOLD,
+        sig_df=sigs, with_distances=False,
+    )
+    return verified.select("doc_id_a", "doc_id_b", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# entry
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-dup pairs + mash distances + cluster ids on sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _docs(spark, sf_dir)
+    res = dedup_pipeline(docs, PipelineConfig(), id_col="doc_id", text_col="text")
+    return res.dup_pairs.join(
+        res.clusters.withColumnsRenamed({"doc_id": "doc_id_a", "cluster_id": "cluster_id"}),
+        "doc_id_a",
+    ).select("doc_id_a", "doc_id_b", "jaccard", "frac", "distance", "cluster_id")
 
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- flagship: MinHash-LSH near-dup pairs, exact-verified (O1/J1/J2/U1)
+    q["near_dup_pairs"] = _dup_pairs
+
+    # ---- clustering: union-find over verified edges (O4)
+    def near_dup_clusters(spark, sf_dir):
+        pairs = _dup_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+        return assign_clusters(_docs(spark, sf_dir), pairs, id_col="doc_id")
+
+    q["near_dup_clusters"] = near_dup_clusters
+
+    # ---- distance formulas on verified pairs (F1/F2/F3)
+    def distance_formulas(spark, sf_dir):
+        pairs = _dup_pairs(spark, sf_dir)
+        frac = shared_fraction_expr("jaccard")
+        # "+ 0.0" normalizes any IEEE -0.0 (e.g. -ln(1)/k) before hashing
+        return pairs.select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round("jaccard", 6).alias("jaccard_r"),
+            (F.round(frac, 6) + F.lit(0.0)).alias("frac"),
+            (F.round(mash_distance_expr(frac, K, 1), 6) + F.lit(0.0)).alias("d_poisson"),
+            (F.round(mash_distance_expr(frac, K, 2), 6) + F.lit(0.0)).alias("d_binomial"),
+        )
+
+    q["distance_formulas"] = distance_formulas
+
+    # ---- exact dedup groups (hash groupBy)
+    def exact_dedup(spark, sf_dir):
+        return (
+            _docs(spark, sf_dir)
+            .groupBy(F.md5(normalize_text("text")).alias("content_md5"))
+            .agg(F.count("*").alias("group_size"), F.min("doc_id").alias("rep"))
+        )
+
+    q["exact_dedup_groups"] = exact_dedup
+
+    # ---- shingle extraction parity (T4 in SQL-expressible form)
+    def shingle_counts(spark, sf_dir):
+        d = _normed(spark, sf_dir)
+        return d.select(
+            "doc_id",
+            F.expr(
+                f"size(array_distinct(transform(sequence(1, length(norm_text) - {K - 1}),"
+                f" i -> substring(norm_text, i, {K}))))"
+            ).alias("n_shingles"),
+        ).where(F.length("norm_text") >= K)
+
+    q["shingle_counts"] = shingle_counts
+
+    # ---- inclusion-exclusion jaccard + containment on exact word sets (U4)
+    def ie_jaccard(spark, sf_dir):
+        d = (
+            _normed(spark, sf_dir)
+            .filter(F.col("doc_id") < 60)
+            .select("doc_id", F.array_distinct(F.split("norm_text", " ")).alias("w"))
+        )
+        pairs = (
+            d.alias("a")
+            .crossJoin(d.alias("b"))
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"),
+                F.size("a.w").cast("double").alias("card_a"),
+                F.size("b.w").cast("double").alias("card_b"),
+                F.size(F.array_union("a.w", "b.w")).cast("double").alias("card_u"),
+            )
+        )
+        return pairs.select(
+            "doc_id_a",
+            "doc_id_b",
+            "card_a",
+            "card_b",
+            "card_u",
+            F.greatest(
+                F.lit(0.0), (F.col("card_a") + F.col("card_b") - F.col("card_u")) / F.col("card_u")
+            ).alias("jaccard_ie"),
+            F.greatest(
+                F.lit(0.0), (F.col("card_a") + F.col("card_b") - F.col("card_u")) / F.col("card_a")
+            ).alias("containment_a"),
+        )
+
+    q["ie_jaccard_containment"] = ie_jaccard
+
+    # ---- text quality stats
+    def doc_stats(spark, sf_dir):
+        return with_text_stats(_docs(spark, sf_dir), "text").select(
+            "doc_id",
+            F.col("n_chars").alias("chars"),
+            "n_words",
+            "n_distinct_words",
+            "avg_word_len",
+            "stopword_ratio",
+            "alpha_ratio",
+        )
+
+    q["doc_stats"] = doc_stats
+
+    # ---- language-ID heuristic
+    def lang_detect(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", detect_lang("text").alias("lang_pred")
+        )
+
+    q["lang_detect"] = lang_detect
+
+    # ---- token counting (regex tokens)
+    def token_counts(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("ws_tokens"),
+            token_count("text").alias("re_tokens"),
+        )
+
+    q["token_counts"] = token_counts
+
+    # ---- document fingerprinting
+    def fingerprints(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", F.md5(normalize_text("text")).alias("fingerprint")
+        )
+
+    q["fingerprints"] = fingerprints
+
+    # ---- triangular self-join pair filter (J2) per source group
+    def triangular_pairs(spark, sf_dir):
+        d = _docs(spark, sf_dir).select("doc_id", "source")
+        return (
+            d.alias("a")
+            .join(d.alias("b"), "source")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_pairs"))
+        )
+
+    q["triangular_pairs"] = triangular_pairs
+
+    # ---- ANN: brute-force cosine top-k (rank-compared; cosine rounded
+    # before ranking so FP noise cannot flip ranks between engines)
+    def ann_topk(spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        queries_df = emb.filter(F.col("vec_id") < 10)
+        scored = (
+            emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").cast("array<double>").alias("cv"))
+            .join(
+                F.broadcast(
+                    queries_df.select(
+                        F.col("vec_id").alias("query_id"),
+                        F.col("embedding").cast("array<double>").alias("qv"),
+                    )
+                ),
+                F.col("query_id") != F.col("item_id"),
+            )
+            .withColumn("cos_r", F.round(cosine_expr(F.col("qv"), F.col("cv")), 9))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("item_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "item_id", "rank", "cos_r")
+        )
+
+    q["ann_cosine_topk"] = ann_topk
+
+    # ---- non-SQL-expressible (rows-only checks) --------------------------
+    def minhash_signatures(spark, sf_dir):
+        d = _normed(spark, sf_dir)
+        return build_signatures(d, _params(), LshPlan.plan(128, THRESHOLD, 0.995), id_col="doc_id")
+
+    q["minhash_signatures"] = minhash_signatures
+
+    def lsh_candidates(spark, sf_dir):
+        d = _normed(spark, sf_dir)
+        sigs = build_signatures(d, _params(), LshPlan.plan(128, THRESHOLD, 0.995), id_col="doc_id")
+        return lsh_candidate_pairs(sigs, id_col="doc_id")
+
+    q["lsh_candidates"] = lsh_candidates
+
+    def simhash_hamming_pairs(spark, sf_dir):
+        from lash_spark.operators.lsh import simhash_candidate_pairs
+
+        d = _normed(spark, sf_dir)
+        sigs = build_signatures(d, _params(), LshPlan.plan(128, THRESHOLD, 0.995), id_col="doc_id")
+        return simhash_candidate_pairs(sigs, id_col="doc_id", chunks=4, max_hamming=3)
+
+    q["simhash_hamming_pairs"] = simhash_hamming_pairs
+
+    def hll_register_sketches(spark, sf_dir):
+        d = _normed(spark, sf_dir)
+        return add_register_sketch(
+            d.select("doc_id", "norm_text"), SketchParams(algorithm="hll"), out_col="regs"
+        ).select("doc_id", "regs")
+
+    q["hll_register_sketches"] = hll_register_sketches
+
+    def substring_pairs(spark, sf_dir):
+        return exact_substring_pairs(
+            _normed(spark, sf_dir), min_len=64, k=32, id_col="doc_id"
+        )
+
+    q["substring_dup_pairs"] = substring_pairs
+
+    def embedding_near_dups(spark, sf_dir):
+        return embedding_near_dup_pairs(
+            _emb(spark, sf_dir), dim=64, cosine_threshold=0.95, n_planes=8
+        )
+
+    q["embedding_near_dups"] = embedding_near_dups
+
+    return q
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# --------------------------------------------------------------------------
+
+_SHINGLE_PAIRS_CTE = f"""
+WITH normed AS (
+  SELECT doc_id, {_NORM_SQL} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, i.i, {K}) AS s
+  FROM normed, LATERAL (SELECT unnest(generate_series(1, len(t) - {K - 1})) AS i) i
+  WHERE len(t) >= {K}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jacc AS (
+  SELECT da AS doc_id_a, db AS doc_id_b,
+         c * 1.0 / (sa.n + sb.n - c) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = da
+  JOIN sizes sb ON sb.doc_id = db
+),
+dup AS (SELECT * FROM jacc WHERE jaccard >= {THRESHOLD})
+"""
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["near_dup_pairs"] = _SHINGLE_PAIRS_CTE + "SELECT doc_id_a, doc_id_b, jaccard FROM dup"
+
+    o["near_dup_clusters"] = (
+        _SHINGLE_PAIRS_CTE.replace("WITH normed", "WITH RECURSIVE normed", 1)
+        + """,
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM dup
+  UNION ALL
+  SELECT doc_id_b AS src, doc_id_a AS dst FROM dup
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT e.dst AS node, r.r
+  FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+    )
+
+    o["distance_formulas"] = (
+        _SHINGLE_PAIRS_CTE
+        + f"""
+SELECT doc_id_a, doc_id_b,
+       round(jaccard, 6) AS jaccard_r,
+       round(2 * jaccard / (1 + jaccard), 6) + 0.0 AS frac,
+       round(least(1.0, -ln(2 * jaccard / (1 + jaccard)) / {K}), 6) + 0.0 AS d_poisson,
+       round(1.0 - pow(2 * jaccard / (1 + jaccard), 1.0 / {K}), 6) + 0.0 AS d_binomial
+FROM dup
+"""
+    )
+
+    o["exact_dedup_groups"] = f"""
+SELECT md5({_NORM_SQL}) AS content_md5,
+       count(*) AS group_size,
+       min(doc_id) AS rep
+FROM documents GROUP BY 1
+"""
+
+    o["shingle_counts"] = f"""
+WITH normed AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+sh AS (
+  SELECT doc_id, substr(t, i.i, {K}) AS s
+  FROM normed, LATERAL (SELECT unnest(generate_series(1, len(t) - {K - 1})) AS i) i
+  WHERE len(t) >= {K}
+)
+SELECT doc_id, count(DISTINCT s) AS n_shingles FROM sh GROUP BY doc_id
+"""
+
+    o["ie_jaccard_containment"] = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split({_NORM_SQL}, ' ')) AS w
+  FROM documents WHERE doc_id < 60
+),
+p AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         len(a.w)::DOUBLE AS card_a, len(b.w)::DOUBLE AS card_b,
+         len(list_distinct(list_concat(a.w, b.w)))::DOUBLE AS card_u
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, card_a, card_b, card_u,
+       greatest(0.0, (card_a + card_b - card_u) / card_u) AS jaccard_ie,
+       greatest(0.0, (card_a + card_b - card_u) / card_a) AS containment_a
+FROM p
+"""
+
+    o["doc_stats"] = f"""
+SELECT doc_id,
+       len(text) AS chars,
+       len(string_split(text, ' ')) AS n_words,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+       len(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')) AS avg_word_len,
+       len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_IN})))::DOUBLE
+         / len(string_split(text, ' ')) AS stopword_ratio,
+       len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / len(text) AS alpha_ratio
+FROM documents
+"""
+
+    lang_scores = {
+        "en": ("the", "and", "of", "to", "is"),
+        "de": ("der", "die", "und", "nicht", "ist"),
+        "fr": ("le", "la", "et", "les", "est"),
+        "es": ("el", "los", "que", "es", "una"),
+    }
+    score_cols = ",\n       ".join(
+        f"len(list_filter(list_distinct(string_split(lower(text), ' ')), "
+        f"x -> x IN ({', '.join(repr(m) for m in ms)}))) AS s_{lang}"
+        for lang, ms in lang_scores.items()
+    )
+    o["lang_detect"] = f"""
+WITH s AS (
+  SELECT doc_id,
+       {score_cols}
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM s
+"""
+
+    o["token_counts"] = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS re_tokens
+FROM documents
+"""
+
+    o["fingerprints"] = f"""
+SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+"""
+
+    o["triangular_pairs"] = """
+SELECT a.source AS source, count(*) AS n_pairs
+FROM documents a JOIN documents b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+GROUP BY 1
+"""
+
+    o["ann_cosine_topk"] = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, t.vec_id AS item_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) AS cos_r
+  FROM embeddings q JOIN embeddings t ON q.vec_id < 10 AND t.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT query_id, item_id, cos_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, item_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, item_id, rank, cos_r FROM ranked WHERE rank <= 5
+"""
+
+    # SRP candidate generation is complete for cosine >= 0.95 on this data
+    # (no such pairs exist: max pairwise cosine ~0.51), so the brute-force
+    # SQL truth set equals the engine output (both computed, both empty).
+    o["embedding_near_dups"] = """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+"""
+
+    # minhash_signatures / lsh_candidates / simhash_hamming_pairs /
+    # hll_register_sketches / substring_dup_pairs:
+    # non-SQL-expressible (register contents / LSH bucketing / winnowing) —
+    # intentionally omitted -> driver records rows-only checks; their
+    # semantics are covered by tests/ (unit + property + brute-force recall).
+    return o

@@ -1,0 +1,208 @@
+"""Benchmark harness.
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling mode: run the identical dedup job on the identical synthetic
+corpus at local[8] and local[32] (the sandbox stand-in for N vs 4N
+executors), report docs/sec at both + scaling efficiency, and rewrite
+BENCH/BASELINE.md (driver instruction / BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def _build_queries(sf_dir: str):
+    """Headline suite: each entry is (name, fn(spark) -> row_count)."""
+    from lash_spark.config import LshPlan, PipelineConfig, SketchParams
+    from lash_spark.operators.ann import brute_force_topk
+    from lash_spark.operators.exact import dedup_exact
+    from lash_spark.operators.lsh import lsh_candidate_pairs
+    from lash_spark.operators.normalize import with_normalized_text
+    from lash_spark.operators.signatures import build_signatures
+    from lash_spark.operators.substring import exact_substring_pairs
+    from lash_spark.operators.textstats import with_text_stats
+    from lash_spark.operators.verify import verify_pairs
+    from lash_spark.pipeline import dedup_pipeline
+    from lash_spark.synth import generate_pages
+
+    params = SketchParams()
+    plan = LshPlan.plan(params.num_perm, 0.8, 0.995)
+
+    def docs(spark):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def q_signatures(spark):
+        d = with_normalized_text(docs(spark), "text")
+        return build_signatures(d, params, plan, id_col="doc_id").count()
+
+    def q_near_dup_pairs(spark):
+        d = with_normalized_text(docs(spark), "text")
+        sigs = build_signatures(d, params, plan, id_col="doc_id")
+        cands = lsh_candidate_pairs(sigs, id_col="doc_id")
+        return verify_pairs(
+            cands, d, params, id_col="doc_id", threshold=0.8, sig_df=sigs
+        ).count()
+
+    def q_full_pipeline(spark):
+        res = dedup_pipeline(docs(spark), PipelineConfig(), id_col="doc_id", text_col="text")
+        return res.clusters.count()
+
+    def q_exact_dedup(spark):
+        d = with_normalized_text(docs(spark), "text")
+        return dedup_exact(d, id_col="doc_id").count()
+
+    def q_text_stats(spark):
+        return (
+            with_text_stats(docs(spark), "text")
+            .agg(F.sum("n_words"), F.avg("stopword_ratio"))
+            .collect()
+        ) and docs(spark).count()
+
+    def q_ann_topk(spark):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=10).count()
+
+    def q_substring(spark):
+        d = with_normalized_text(docs(spark), "text")
+        return exact_substring_pairs(d, min_len=64, k=32, id_col="doc_id").count()
+
+    def q_synth_pipeline_50k(spark):
+        pages = generate_pages(spark, 50_000, seed=42, partitions=128)
+        res = dedup_pipeline(pages, PipelineConfig(), id_col="url", text_col="text")
+        return res.dup_pairs.count()
+
+    return [
+        ("signatures", q_signatures),
+        ("near_dup_pairs", q_near_dup_pairs),
+        ("full_pipeline", q_full_pipeline),
+        ("exact_dedup", q_exact_dedup),
+        ("text_stats", q_text_stats),
+        ("ann_topk", q_ann_topk),
+        ("substring_pass", q_substring),
+        ("synth_pipeline_50k", q_synth_pipeline_50k),
+    ]
+
+
+def run_default():
+    from lash_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    spark = get_spark(app_name="lash_bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = _build_queries(sf_dir)
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in queries:
+        t0 = time.monotonic()
+        rows[name] = int(fn(spark) or 0)
+        timings[name] = round(time.monotonic() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "dedup_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        "rows": rows,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+def _scaling_job(master: str, n_docs: int, shuffle_partitions: int) -> dict:
+    """One full dedup run (signatures -> LSH -> verify -> clusters) on the
+    deterministic synthetic corpus; returns wall + docs/sec."""
+    from lash_spark.config import PipelineConfig
+    from lash_spark.pipeline import dedup_pipeline
+    from lash_spark.session import get_spark
+    from lash_spark.synth import generate_pages
+
+    spark = get_spark(
+        app_name=f"lash_scaling_{master}", master=master, shuffle_partitions=shuffle_partitions
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # materialize input first so generation cost is excluded from the measure
+    pages = generate_pages(spark, n_docs, seed=42, partitions=128)
+    pages.write.mode("overwrite").parquet("/tmp/lash_scaling_input")
+    docs = spark.read.parquet("/tmp/lash_scaling_input")
+    t0 = time.monotonic()
+    res = dedup_pipeline(docs, PipelineConfig(), id_col="url", text_col="text")
+    n_pairs = res.dup_pairs.count()
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    wall = time.monotonic() - t0
+    spark.stop()
+    return {
+        "master": master,
+        "n_docs": n_docs,
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "dup_pairs": n_pairs,
+        "clusters": n_clusters,
+    }
+
+
+def run_scaling(n_docs: int = 100_000):
+    r8 = _scaling_job("local[8]", n_docs, shuffle_partitions=64)
+    r32 = _scaling_job("local[32]", n_docs, shuffle_partitions=64)
+    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
+    out = {
+        "metric": "scaling_efficiency_N_to_4N",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n8": r8,
+        "n32": r32,
+    }
+    print(json.dumps(out))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — scaling evidence (local[8] vs local[32])
+
+Same job (full dedup pipeline: normalize -> MinHash signatures -> LSH band
+candidates -> estimate prefilter -> exact-Jaccard verify -> union-find
+clusters), same deterministic synthetic corpus ({n_docs:,} docs, seed 42,
+128 input partitions), same shuffle partitioning (64) — only the
+parallelism changes. local[8] vs local[32] is the sandbox stand-in for N vs
+4N executors (driver instruction; no real cluster available).
+
+| config | wall (s) | docs/sec | dup_pairs | clusters |
+|---|---|---|---|---|
+| local[8]  (N)  | {r8['wall_sec']} | {r8['docs_per_sec']} | {r8['dup_pairs']} | {r8['clusters']} |
+| local[32] (4N) | {r32['wall_sec']} | {r32['docs_per_sec']} | {r32['dup_pairs']} | {r32['clusters']} |
+
+**Scaling efficiency (tput_4N / tput_N) / 4 = {eff:.3f}** (target >= 0.8,
+BASELINE.json). Outputs at both parallelism levels are identical
+(deterministic corpus + order-insensitive pipeline), pair/cluster counts
+shown as the cross-check.
+"""
+        )
+    return out
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        n = 100_000
+        for a in sys.argv:
+            if a.startswith("--docs="):
+                n = int(a.split("=")[1])
+        run_scaling(n)
+    else:
+        run_default()

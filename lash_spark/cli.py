@@ -1,0 +1,179 @@
+"""CLI mirroring the reference's two subcommands plus the full pipeline.
+
+Reference surface: ``lash sketch`` and ``lash dist``
+(``/root/reference/src/main.rs:30,107``). Engine surface:
+
+  python -m lash_spark.cli sketch   --input DIR --output DIR [opts]
+  python -m lash_spark.cli pairs    --signatures DIR --docs DIR --output DIR
+  python -m lash_spark.cli cluster  --pairs DIR --docs DIR --output DIR
+  python -m lash_spark.cli pipeline --input DIR --workdir DIR [opts]
+  python -m lash_spark.cli synth    --docs N --output DIR
+
+All stages read/write parquet directories (Iceberg tables on a real
+cluster via the same catalog API). Designed for `spark-submit --py-files
+lash_spark.zip` on multi-executor clusters.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _add_common(p):
+    p.add_argument("--k", type=int, default=16, help="shingle width (ref default 16)")
+    p.add_argument("--num-perm", type=int, default=128)
+    p.add_argument("--precision", type=int, default=10)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--algorithm", default="minhash")
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--model", type=int, default=1, help="1=poisson 2=binomial")
+    p.add_argument("--fp32", action="store_true")
+    p.add_argument("--id-col", default="url")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--master", default=None)
+
+
+def _spark(args):
+    from lash_spark.session import get_spark
+
+    return get_spark(app_name="lash_spark_cli", master=args.master)
+
+
+def _params(args):
+    from lash_spark.config import SketchParams
+
+    return SketchParams(
+        shingle_k=args.k,
+        num_perm=args.num_perm,
+        precision=args.precision,
+        seed=args.seed,
+        algorithm=args.algorithm,
+        distance_model=args.model,
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="lash_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("sketch", help="documents -> signatures table")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    _add_common(p)
+
+    p = sub.add_parser("pairs", help="signatures (+docs) -> verified dup pairs")
+    p.add_argument("--signatures", required=True)
+    p.add_argument("--docs", required=True)
+    p.add_argument("--output", required=True)
+    _add_common(p)
+
+    p = sub.add_parser("cluster", help="dup pairs -> cluster assignments")
+    p.add_argument("--pairs", required=True)
+    p.add_argument("--docs", required=True)
+    p.add_argument("--output", required=True)
+    _add_common(p)
+
+    p = sub.add_parser("pipeline", help="full dedup with checkpoint/resume")
+    p.add_argument("--input", required=True)
+    p.add_argument("--workdir", required=True)
+    _add_common(p)
+
+    p = sub.add_parser("synth", help="write the deterministic synthetic corpus")
+    p.add_argument("--docs", type=int, required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--master", default=None)
+
+    args = ap.parse_args(argv)
+    spark = _spark(args)
+
+    if args.cmd == "sketch":
+        from lash_spark.config import LshPlan
+        from lash_spark.operators.normalize import with_normalized_text
+        from lash_spark.operators.signatures import build_signatures
+
+        params = _params(args)
+        docs = with_normalized_text(
+            spark.read.parquet(args.input), args.text_col
+        )
+        plan = LshPlan.plan(params.num_perm, args.threshold, 0.995)
+        sigs = build_signatures(docs, params, plan, id_col=args.id_col)
+        sigs.write.mode("overwrite").parquet(args.output)
+        # params sink (K3 analog, main.rs:254-276)
+        with open(f"{args.output}_parameters.json", "w") as f:
+            json.dump(json.loads(params.to_json()), f, indent=1)
+        print(json.dumps({"signatures": args.output, "rows": sigs.count()}))
+
+    elif args.cmd == "pairs":
+        from lash_spark.operators.lsh import lsh_candidate_pairs
+        from lash_spark.operators.normalize import with_normalized_text
+        from lash_spark.operators.verify import verify_pairs
+
+        params = _params(args)
+        # F6 compatibility validation against the sketch-time params
+        try:
+            with open(f"{args.signatures}_parameters.json") as f:
+                from lash_spark.config import SketchParams
+
+                sketch_params = SketchParams(**json.load(f))
+            params.validate_compatible(sketch_params)
+        except FileNotFoundError:
+            pass
+        sigs = spark.read.parquet(args.signatures)
+        docs = with_normalized_text(spark.read.parquet(args.docs), args.text_col)
+        cands = lsh_candidate_pairs(sigs, id_col=args.id_col)
+        verified = verify_pairs(
+            cands, docs, params, id_col=args.id_col, threshold=args.threshold, sig_df=sigs
+        )
+        if args.fp32:
+            verified = verified.withColumn("jaccard", F.col("jaccard").cast("float"))
+        verified.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"pairs": args.output, "rows": verified.count()}))
+
+    elif args.cmd == "cluster":
+        from lash_spark.operators.components import assign_clusters
+
+        pairs = spark.read.parquet(args.pairs)
+        docs = spark.read.parquet(args.docs)
+        clusters = assign_clusters(docs, pairs, id_col=args.id_col)
+        clusters.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"clusters": args.output, "rows": clusters.count()}))
+
+    elif args.cmd == "pipeline":
+        from lash_spark.config import PipelineConfig
+        from lash_spark.lakeio import ParquetCatalog
+        from lash_spark.pipeline import dedup_pipeline
+
+        cfg = PipelineConfig(params=_params(args), jaccard_threshold=args.threshold)
+        cat = ParquetCatalog(spark, args.workdir)
+        docs = spark.read.parquet(args.input)
+        res = dedup_pipeline(
+            docs, cfg, id_col=args.id_col, text_col=args.text_col, catalog=cat
+        )
+        print(
+            json.dumps(
+                {
+                    "workdir": args.workdir,
+                    "dup_pairs": res.dup_pairs.count(),
+                    "clusters": res.clusters.select("cluster_id").distinct().count(),
+                }
+            )
+        )
+
+    elif args.cmd == "synth":
+        from lash_spark.synth import generate_pages
+
+        pages = generate_pages(spark, args.docs, seed=args.seed)
+        pages.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"output": args.output, "rows": args.docs}))
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -58,24 +58,39 @@ def make_signature_udf(params: SketchParams, plan: LshPlan):
 
     @F.pandas_udf(SIGNATURE_SCHEMA)
     def signature_udf(texts: pd.Series) -> pd.DataFrame:
-        from lash_spark.hashing import mix64  # re-import for worker pickling
+        from lash_spark.hashing import batch_shingle_hash_segments, mix64
 
-        keys = perm_keys(num_perm, seed)
-        hash_sets = batch_shingle_hashes(_encode(texts), k)
-        n = len(hash_sets)
+        hu, seg = batch_shingle_hash_segments(_encode(texts), k)
+        n = len(texts)
+        counts = np.diff(seg)
         sigs = np.full((n, num_perm), EMPTY_MIN, dtype=np.uint64)
         simhashes = np.zeros(n, dtype=np.int64)
-        counts = np.zeros(n, dtype=np.int64)
-        for i, hs in enumerate(hash_sets):
-            if hs.size:
-                sigs[i] = mix64(hs[:, None] ^ keys[None, :]).min(axis=0)
-                simhashes[i] = simhash64(hs)
-                counts[i] = hs.size
+        if hu.size:
+            ne = np.flatnonzero(counts > 0)
+            starts = seg[:-1][counts > 0]
+            keys = perm_keys(num_perm, seed)
+            # MinHash: segment-min via reduceat, chunked over permutations to
+            # bound the (n_hashes x chunk) temporary
+            chunk = 16
+            for c0 in range(0, num_perm, chunk):
+                kk = keys[c0 : c0 + chunk]
+                mixed = mix64(hu[:, None] ^ kk[None, :])
+                sigs[ne, c0 : c0 + chunk] = np.minimum.reduceat(mixed, starts, axis=0)
+            # SimHash: per-bit vote counts via add.reduceat, chunked over bits
+            m = counts[ne].astype(np.int64)
+            fp = np.zeros(ne.size, dtype=np.uint64)
+            for b0 in range(0, 64, 16):
+                shifts = np.arange(b0, b0 + 16, dtype=np.uint64)
+                bits = ((hu[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+                votes = np.add.reduceat(bits, starts, axis=0)
+                ge = (2 * votes) >= m[:, None]
+                weights = (np.uint64(1) << shifts).astype(np.uint64)
+                fp |= (ge.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+            simhashes[ne] = fp.view(np.int64)
         bands = band_hashes(sigs, b_, r_, seed).view(np.int64)
-        sig_i64 = sigs.view(np.int64)
         return pd.DataFrame(
             {
-                "minhash": list(sig_i64),
+                "minhash": list(sigs.view(np.int64)),
                 "simhash": simhashes,
                 "bands": list(bands),
                 "n_shingles": counts,
@@ -126,8 +141,16 @@ def build_signatures(
     plan: LshPlan | None = None,
     id_col: str = "url",
     text_col: str = "norm_text",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """The signatures table (D6 analog): (id, minhash, simhash, bands,
-    n_shingles). Narrow projection so the parquet scan prunes to
-    (id, text) only."""
-    return add_signatures(docs.select(id_col, text_col), params, plan, text_col).drop(text_col)
+    n_shingles). Narrow projection so the parquet scan prunes to (id, text)
+    only. If the input has fewer partitions than the cluster's parallelism
+    (single small parquet file), repartition so the map-only UDF stage
+    actually fans out — at real scale inputs arrive with >> cores splits
+    and this is a no-op."""
+    narrow = docs.select(id_col, text_col)
+    target = min_parallelism or docs.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target)
+    return add_signatures(narrow, params, plan, text_col).drop(text_col)
