@@ -53,11 +53,13 @@ def _build_queries(sf_dir: str):
 
     def q_near_dup_pairs(spark):
         d = with_normalized_text(docs(spark), "text")
-        sigs = build_signatures(d, params, plan, id_col="doc_id")
+        sigs = build_signatures(d, params, plan, id_col="doc_id").persist()
         cands = lsh_candidate_pairs(sigs, id_col="doc_id")
-        return verify_pairs(
+        n = verify_pairs(
             cands, d, params, id_col="doc_id", threshold=0.8, sig_df=sigs
         ).count()
+        sigs.unpersist()
+        return n
 
     def q_full_pipeline(spark):
         res = dedup_pipeline(docs(spark), PipelineConfig(), id_col="doc_id", text_col="text")
@@ -113,6 +115,7 @@ def run_default():
         t0 = time.monotonic()
         rows[name] = int(fn(spark) or 0)
         timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]}s rows={rows[name]}", file=sys.stderr, flush=True)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "dedup_suite_total",

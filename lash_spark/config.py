@@ -136,9 +136,14 @@ class PipelineConfig:
     params: SketchParams = field(default_factory=SketchParams)
     jaccard_threshold: float = 0.8
     lsh_min_recall: float = 0.995
-    # hot-band skew control (SURVEY.md O2): buckets larger than this are
-    # star-linked to their min-id representative instead of all-pairs.
-    max_band_bucket: int = 2000
+    # hot-band skew tiers (SURVEY.md O2). Pair volume is quadratic in bucket
+    # size, so tiers are sized by pair budget: <=max_band_bucket plain join
+    # (<=32k pairs/bucket); <=star_threshold salted triangle blocks (<=2M
+    # pairs spread over salt^2/2 reducers); above that boilerplate-class
+    # buckets are star-linked (linear volume, connectivity preserved).
+    max_band_bucket: int = 256
+    salt_buckets: int = 8
+    star_threshold: int = 2048
     # simhash hamming-ball
     simhash_chunks: int = 4
     simhash_max_hamming: int = 3

@@ -72,64 +72,70 @@ def rolling_window_hashes(buf: np.ndarray, k: int) -> np.ndarray:
     return mix64(out)
 
 
-def batch_shingle_hash_segments(
+def batch_window_hash_segments(
     texts: "list[bytes]", k: int
 ) -> "tuple[np.ndarray, np.ndarray]":
-    """Per-document *unique* char k-gram hashes for a whole Arrow batch, as
-    flat segment arrays: (hashes, seg_offsets) where document i's sorted
-    unique hashes are hashes[seg_offsets[i]:seg_offsets[i+1]].
+    """Per-document char k-gram window hashes (multiset, document order) for
+    a whole Arrow batch, as flat segment arrays: (hashes, seg_offsets) where
+    document i's window hashes are hashes[seg_offsets[i]:seg_offsets[i+1]].
 
-    Fully vectorized: one concatenated byte buffer, one rolling-hash pass,
-    one global lexsort for per-document dedup — no per-document numpy calls
-    (the per-doc np.unique loop was the profiled hot spot). Windows crossing
-    document boundaries are excluded by construction; documents shorter than
-    k yield empty segments (the reference's min-length guard,
-    utils.rs:460-462).
+    Linear vector ops only: one concatenated byte buffer, one rolling-hash
+    pass, one gather — no sorting (a global lexsort profiled at ~0.7 s per
+    1M windows; MinHash needs no dedup at all since min over a multiset
+    equals min over its set). Windows crossing document boundaries are
+    excluded by construction; documents shorter than k yield empty segments
+    (the reference's min-length guard, utils.rs:460-462).
     """
     n_docs = len(texts)
     empty = (np.empty(0, dtype=U64), np.zeros(n_docs + 1, dtype=np.int64))
     if n_docs == 0:
         return empty
     lens = np.fromiter((len(t) for t in texts), count=n_docs, dtype=np.int64)
+    counts = np.maximum(lens - k + 1, 0)
+    seg = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=seg[1:])
+    total = int(seg[-1])
+    if total == 0:
+        return empty
     byte_offsets = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(lens, out=byte_offsets[1:])
     buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
-    if buf.shape[0] < k:
-        return empty
     all_h = rolling_window_hashes(buf, k)
-    counts = np.maximum(lens - k + 1, 0)
-    total = int(counts.sum())
-    if total == 0:
-        return empty
-    doc_ids = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-    win_offsets = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum(counts, out=win_offsets[1:])
-    within = np.arange(total, dtype=np.int64) - np.repeat(win_offsets[:-1], counts)
+    within = np.arange(total, dtype=np.int64) - np.repeat(seg[:-1], counts)
     h = all_h[within + np.repeat(byte_offsets[:-1], counts)]
-    order = np.lexsort((h, doc_ids))
-    hs, ds = h[order], doc_ids[order]
-    first = np.ones(total, dtype=bool)
-    first[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
-    hu, du = hs[first], ds[first]
-    seg = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum(np.bincount(du, minlength=n_docs), out=seg[1:])
-    return hu, seg
+    return h, seg
+
+
+def batch_shingle_hash_segments(
+    texts: "list[bytes]", k: int
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-document *unique sorted* k-gram hashes as flat segment arrays.
+
+    Window hashing is batch-vectorized; dedup is a per-document np.unique
+    over each (small) segment — O(m log m) per doc with tiny constants,
+    far cheaper than one global multi-key sort. Used by the exact-Jaccard
+    verify path (which needs set semantics); the signature stage uses the
+    multiset variant above.
+    """
+    h, seg = batch_window_hash_segments(texts, k)
+    n_docs = len(texts)
+    if h.size == 0:
+        return h, seg
+    parts = [np.unique(h[seg[i] : seg[i + 1]]) for i in range(n_docs)]
+    out_seg = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(np.fromiter((p.size for p in parts), count=n_docs, dtype=np.int64), out=out_seg[1:])
+    return (np.concatenate(parts) if parts else np.empty(0, dtype=U64)), out_seg
 
 
 def batch_shingle_hashes(
     texts: "list[bytes]", k: int, unique: bool = True
 ) -> "list[np.ndarray]":
-    """List-of-arrays view over batch_shingle_hash_segments (each document's
-    sorted unique hashes; empty array when len(text) < k)."""
-    if not unique:
-        # raw (duplicated) windows, only used by tests/verification paths
-        out = []
-        for t in texts:
-            buf = np.frombuffer(t, dtype=np.uint8)
-            out.append(rolling_window_hashes(buf, k))
-        return out
-    hu, seg = batch_shingle_hash_segments(texts, k)
-    return [hu[seg[i] : seg[i + 1]] for i in range(len(texts))]
+    """List-of-arrays view (each document's sorted unique hashes, or raw
+    window multiset when unique=False; empty array when len(text) < k)."""
+    h, seg = (batch_shingle_hash_segments if unique else batch_window_hash_segments)(
+        texts, k
+    )
+    return [h[seg[i] : seg[i + 1]] for i in range(len(texts))]
 
 
 def word_ngram_hashes(words: "list[str]", n: int, unique: bool = True) -> np.ndarray:

@@ -35,7 +35,7 @@ SIGNATURE_SCHEMA = T.StructType(
         T.StructField("minhash", T.ArrayType(T.LongType()), False),
         T.StructField("simhash", T.LongType(), False),
         T.StructField("bands", T.ArrayType(T.LongType()), False),
-        T.StructField("n_shingles", T.LongType(), False),
+        T.StructField("n_windows", T.LongType(), False),
     ]
 )
 
@@ -45,11 +45,14 @@ def _encode(texts: pd.Series) -> "list[bytes]":
 
 
 def make_signature_udf(params: SketchParams, plan: LshPlan):
-    """Scalar pandas UDF: text -> struct(minhash, simhash, bands, n_shingles).
+    """Scalar pandas UDF: text -> struct(minhash, simhash, bands, n_windows).
 
     Whole pipeline for one Arrow batch: concat-buffer rolling k-gram hashes
-    (T4/T6), per-permutation min (A1/A2 analog), SimHash bit-votes (O3),
-    band folding (O1). All numpy; the per-row loop only slices arrays.
+    (T4/T6), per-permutation segment-min (A1/A2 analog), SimHash bit-votes
+    (O3), band folding (O1). Operates on the window *multiset* — MinHash is
+    dedup-invariant (min over multiset == min over set) and SimHash becomes
+    the standard frequency-weighted variant — so the kernel is pure linear
+    vector ops, no sorting.
     """
     k = params.shingle_k
     num_perm = params.num_perm
@@ -58,9 +61,9 @@ def make_signature_udf(params: SketchParams, plan: LshPlan):
 
     @F.pandas_udf(SIGNATURE_SCHEMA)
     def signature_udf(texts: pd.Series) -> pd.DataFrame:
-        from lash_spark.hashing import batch_shingle_hash_segments, mix64
+        from lash_spark.hashing import batch_window_hash_segments, mix64
 
-        hu, seg = batch_shingle_hash_segments(_encode(texts), k)
+        hu, seg = batch_window_hash_segments(_encode(texts), k)
         n = len(texts)
         counts = np.diff(seg)
         sigs = np.full((n, num_perm), EMPTY_MIN, dtype=np.uint64)
@@ -93,7 +96,7 @@ def make_signature_udf(params: SketchParams, plan: LshPlan):
                 "minhash": list(sigs.view(np.int64)),
                 "simhash": simhashes,
                 "bands": list(bands),
-                "n_shingles": counts,
+                "n_windows": counts,
             }
         )
 
@@ -108,7 +111,8 @@ def make_register_udf(params: SketchParams):
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def register_udf(texts: pd.Series) -> pd.Series:
-        hash_sets = batch_shingle_hashes(_encode(texts), k)
+        # register inserts are dedup-invariant (bucket max / min) -> multiset
+        hash_sets = batch_shingle_hashes(_encode(texts), k, unique=False)
         return pd.Series([kernel(hs, p, seed) for hs in hash_sets])
 
     return register_udf
@@ -120,11 +124,11 @@ def add_signatures(
     plan: LshPlan | None = None,
     text_col: str = "norm_text",
 ) -> DataFrame:
-    """Append minhash/simhash/bands/n_shingles columns (map-only)."""
+    """Append minhash/simhash/bands/n_windows columns (map-only)."""
     plan = plan or LshPlan.plan(params.num_perm, 0.8)
     udf = make_signature_udf(params, plan)
     sig = df.withColumn("_sig", udf(F.col(text_col)))
-    return sig.select("*", "_sig.minhash", "_sig.simhash", "_sig.bands", "_sig.n_shingles").drop(
+    return sig.select("*", "_sig.minhash", "_sig.simhash", "_sig.bands", "_sig.n_windows").drop(
         "_sig"
     )
 

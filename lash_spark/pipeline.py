@@ -63,7 +63,10 @@ def dedup_pipeline(
         catalog.set_properties("signatures", {"params_hash": phash, "params": params.to_json()})
         sigs = catalog.read("signatures")
     else:
-        sigs = build_signatures(normed, params, plan, id_col=id_col)
+        # the signatures feed three consumers (band explode + both sides of
+        # the estimate join); persist so the Arrow UDF runs once per row —
+        # the catalog path gets the same effect from the table round-trip
+        sigs = build_signatures(normed, params, plan, id_col=id_col).persist()
 
     # ---- candidates (skew-tiered LSH band join)
     def build_candidates():
@@ -71,7 +74,8 @@ def dedup_pipeline(
             sigs,
             id_col=id_col,
             max_bucket=cfg.max_band_bucket,
-            salt_buckets=8,
+            salt_buckets=cfg.salt_buckets,
+            star_threshold=cfg.star_threshold,
         )
 
     if catalog is not None:
