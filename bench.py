@@ -54,11 +54,12 @@ def _build_queries(sf_dir: str):
     def q_near_dup_pairs(spark):
         d = with_normalized_text(docs(spark), "text")
         sigs = build_signatures(d, params, plan, id_col="doc_id").persist()
-        cands = lsh_candidate_pairs(sigs, id_col="doc_id")
+        cands = lsh_candidate_pairs(sigs, id_col="doc_id").persist()
         n = verify_pairs(
             cands, d, params, id_col="doc_id", threshold=0.8, sig_df=sigs
         ).count()
         sigs.unpersist()
+        cands.unpersist()
         return n
 
     def q_full_pipeline(spark):

@@ -29,11 +29,16 @@ class SketchParams:
 
     shingle_k: int = 16
     algorithm: str = "minhash"
-    num_perm: int = 128          # MinHash permutations (signature length)
+    num_perm: int = 128          # MinHash signature length (power of two)
     precision: int = 10          # 2^p registers for hll/ull/hmh
     seed: int = 42
     distance_model: int = 1      # 1=poisson, 2=binomial (main.rs:415-423)
     normalize_version: int = 1   # frozen text-normalization version
+    # "oph": one-permutation hashing + rotation densification — O(windows)
+    #        per doc, the 10^12-doc mode (Li et al. 2012 / Shrivastava 2017).
+    # "kperm": classic k independent permutations — O(windows * num_perm),
+    #        kept for small-batch parity and estimator comparisons.
+    minhash_mode: str = "oph"
 
     def __post_init__(self) -> None:
         if self.algorithm not in ALGORITHMS:
@@ -47,6 +52,10 @@ class SketchParams:
         if self.distance_model not in DISTANCE_MODELS:
             # reference panics on unknown model (main.rs:421)
             raise ValueError(f"distance model must be one of {DISTANCE_MODELS}")
+        if self.minhash_mode not in ("oph", "kperm"):
+            raise ValueError("minhash_mode must be 'oph' or 'kperm'")
+        if self.minhash_mode == "oph" and (self.num_perm & (self.num_perm - 1)) != 0:
+            raise ValueError("oph mode requires power-of-two num_perm")
 
     @property
     def num_registers(self) -> int:
@@ -143,7 +152,7 @@ class PipelineConfig:
     # buckets are star-linked (linear volume, connectivity preserved).
     max_band_bucket: int = 256
     salt_buckets: int = 8
-    star_threshold: int = 2048
+    star_threshold: int = 512
     # simhash hamming-ball
     simhash_chunks: int = 4
     simhash_max_hamming: int = 3

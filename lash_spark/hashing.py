@@ -58,18 +58,48 @@ def clz64(x: np.ndarray) -> np.ndarray:
 def rolling_window_hashes(buf: np.ndarray, k: int) -> np.ndarray:
     """Hashes of every length-k byte window of ``buf`` (len n -> n-k+1).
 
-    Polynomial accumulation then mix64 — the text analog of the reference's
-    2-bit-packed k-mer windows (utils.rs:464-502), vectorized over the whole
-    buffer instead of per-record iteration.
+    Polynomial window hash via logarithmic doubling — h_{2w}[i] =
+    h_w[i]*B^w + h_w[i+w] — so a width-k window costs ceil(log2 k)+popcount
+    passes over the buffer instead of k (this sandbox is memory-bandwidth
+    bound, so pass count is the cost model). Then mix64. Equivalent result
+    to the naive left-to-right polynomial with the same base. The text
+    analog of the reference's 2-bit-packed k-mer windows (utils.rs:464-502).
     """
     n = buf.shape[0]
     if n < k:
         return np.empty(0, dtype=U64)
-    out = np.zeros(n - k + 1, dtype=U64)
-    b = buf.astype(U64)
-    for j in range(k):
-        out = out * _ROLL_BASE + b[j : n - k + 1 + j]
-    return mix64(out)
+    with np.errstate(over="ignore"):
+        h = buf.astype(U64)  # width-1 hashes
+        width = 1
+        powers = {1: _ROLL_BASE}
+        # decompose k into binary: combine power-of-two width blocks
+        out = None
+        out_w = 0
+        rem = k
+        # build power-of-two tables up to k, combining greedily from the
+        # highest bit so the result equals the naive polynomial
+        blocks = []  # (width, hash-array at that width)
+        w = 1
+        cur = h
+        blocks.append((1, cur))
+        while w * 2 <= k:
+            bw = U64((pow(int(_ROLL_BASE), w, 1 << 64)))
+            nxt = cur[: cur.shape[0] - w] * bw + cur[w:]
+            cur = nxt
+            w *= 2
+            blocks.append((w, cur))
+        for bwidth, bh in reversed(blocks):
+            if rem < bwidth:
+                continue
+            if out is None:
+                out = bh[: n - k + 1]
+                out_w = bwidth
+            else:
+                bmul = U64(pow(int(_ROLL_BASE), bwidth, 1 << 64))
+                out = out * bmul + bh[out_w : out_w + n - k + 1]
+                out_w += bwidth
+            rem -= bwidth
+        return mix64(out)
 
 
 def batch_window_hash_segments(

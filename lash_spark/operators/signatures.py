@@ -59,37 +59,35 @@ def make_signature_udf(params: SketchParams, plan: LshPlan):
     seed = params.seed
     b_, r_ = plan.bands, plan.rows
 
+    mode = params.minhash_mode
+
     @F.pandas_udf(SIGNATURE_SCHEMA)
     def signature_udf(texts: pd.Series) -> pd.DataFrame:
         from lash_spark.hashing import batch_window_hash_segments, mix64
+        from lash_spark.sketches import (
+            densify_rotation,
+            oph_signatures_segments,
+            simhash_from_signature,
+        )
 
         hu, seg = batch_window_hash_segments(_encode(texts), k)
         n = len(texts)
         counts = np.diff(seg)
-        sigs = np.full((n, num_perm), EMPTY_MIN, dtype=np.uint64)
-        simhashes = np.zeros(n, dtype=np.int64)
-        if hu.size:
-            ne = np.flatnonzero(counts > 0)
-            starts = seg[:-1][counts > 0]
-            keys = perm_keys(num_perm, seed)
-            # MinHash: segment-min via reduceat, chunked over permutations to
-            # bound the (n_hashes x chunk) temporary
-            chunk = 16
-            for c0 in range(0, num_perm, chunk):
-                kk = keys[c0 : c0 + chunk]
-                mixed = mix64(hu[:, None] ^ kk[None, :])
-                sigs[ne, c0 : c0 + chunk] = np.minimum.reduceat(mixed, starts, axis=0)
-            # SimHash: per-bit vote counts via add.reduceat, chunked over bits
-            m = counts[ne].astype(np.int64)
-            fp = np.zeros(ne.size, dtype=np.uint64)
-            for b0 in range(0, 64, 16):
-                shifts = np.arange(b0, b0 + 16, dtype=np.uint64)
-                bits = ((hu[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
-                votes = np.add.reduceat(bits, starts, axis=0)
-                ge = (2 * votes) >= m[:, None]
-                weights = (np.uint64(1) << shifts).astype(np.uint64)
-                fp |= (ge.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
-            simhashes[ne] = fp.view(np.int64)
+        if mode == "oph":
+            # O(total windows): bin by low bits, scatter-min, densify.
+            # Seed the stream so different runs/seeds decorrelate.
+            hs = mix64(hu ^ np.uint64(seed)) if hu.size else hu
+            sigs = densify_rotation(oph_signatures_segments(hs, seg, num_perm))
+        else:  # kperm parity mode: O(windows x num_perm), 1-D ops per perm
+            sigs = np.full((n, num_perm), EMPTY_MIN, dtype=np.uint64)
+            if hu.size:
+                ne = np.flatnonzero(counts > 0)
+                starts = seg[:-1][counts > 0]
+                keys = perm_keys(num_perm, seed)
+                for j in range(num_perm):
+                    mixed = mix64(hu ^ keys[j])
+                    sigs[ne, j] = np.minimum.reduceat(mixed, starts)
+        simhashes = simhash_from_signature(sigs)
         bands = band_hashes(sigs, b_, r_, seed).view(np.int64)
         return pd.DataFrame(
             {

@@ -81,7 +81,7 @@ def dedup_pipeline(
     if catalog is not None:
         candidates, _ = run_stage(catalog, "candidates", phash, build_candidates)
     else:
-        candidates = build_candidates()
+        candidates = build_candidates().persist()
 
     # ---- verify (estimate prefilter + exact jaccard + distances)
     def build_verified():
@@ -97,7 +97,8 @@ def dedup_pipeline(
     if catalog is not None:
         verified, _ = run_stage(catalog, "dup_pairs", phash, build_verified)
     else:
-        verified = build_verified()
+        # consumed by both the dup_pairs output and the edge/cluster branch
+        verified = build_verified().persist()
 
     # ---- edges -> clusters
     a, b = f"{id_col}_a", f"{id_col}_b"

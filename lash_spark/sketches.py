@@ -55,6 +55,70 @@ def minhash_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float(np.mean(sig_a == sig_b))
 
 
+def oph_signatures_segments(
+    h: np.ndarray, seg: np.ndarray, num_perm: int
+) -> np.ndarray:
+    """One-permutation-hashing signatures for a batch of documents given as
+    flat window-hash segments (multiset; dedup-invariant).
+
+    bin = low log2(num_perm) bits of the element hash; register = min hash
+    in the bin. O(total windows) regardless of num_perm — the 10^12-doc
+    signature mode (vs. O(windows x num_perm) for k independent
+    permutations). Empty bins keep EMPTY_MIN until densify_rotation().
+    """
+    n = seg.shape[0] - 1
+    sig = np.full((n, num_perm), EMPTY_MIN, dtype=U64)
+    if h.size:
+        counts = np.diff(seg)
+        mask = U64(num_perm - 1)
+        idx = (
+            np.repeat(np.arange(n, dtype=np.int64), counts) * num_perm
+            + (h & mask).astype(np.int64)
+        )
+        np.minimum.at(sig.reshape(-1), idx, h)
+    return sig
+
+
+def densify_rotation(sig: np.ndarray) -> np.ndarray:
+    """Rotation densification (Shrivastava & Li): an empty bin borrows the
+    value of the nearest occupied bin to its left (circular). Deterministic
+    per document; near-duplicate documents share occupancy patterns, so
+    borrowed registers still match with probability ~J. All-empty rows
+    (documents shorter than one shingle) stay EMPTY_MIN."""
+    out = sig.copy()
+    occupied = sig != EMPTY_MIN
+    rows = np.flatnonzero(occupied.any(axis=1) & (~occupied).any(axis=1))
+    if rows.size == 0:
+        return out
+    sub = out[rows]
+    src = sig[rows]
+    p = sig.shape[1]
+    for t in range(1, p):
+        empty = sub == EMPTY_MIN
+        if not empty.any():
+            break
+        np.copyto(sub, np.roll(src, t, axis=1), where=empty)
+    out[rows] = sub
+    return out
+
+
+def simhash_from_signature(sig: np.ndarray) -> np.ndarray:
+    """64-bit fingerprint from a signature matrix (n, P): majority vote of
+    each bit across the mixed registers — a b-bit-minwise-style fingerprint
+    whose Hamming distance tracks (1 - J)/2 per bit. Replaces per-window
+    SimHash on the hot path (O(P) per doc instead of O(windows)); the
+    set-based simhash64() kernel remains for callers that want the
+    classic variant. Empty rows -> 0."""
+    n, p = sig.shape
+    m = mix64(sig.reshape(-1)).reshape(n, p)
+    fp = np.zeros(n, dtype=U64)
+    for b in range(64):
+        votes = ((m >> U64(b)) & U64(1)).sum(axis=1)
+        fp |= ((2 * votes) >= p).astype(U64) << U64(b)
+    fp = np.where((sig != EMPTY_MIN).any(axis=1), fp, U64(0))
+    return fp.view(np.int64)
+
+
 # ------------------------------------------------------------------- HLL
 
 def hll_registers(hashes: np.ndarray, p: int, seed: int) -> np.ndarray:
