@@ -1,18 +1,24 @@
 """Pair verification: sketch-estimate prefilter + exact Jaccard confirm.
 
 The reference computes sketch-estimated similarity for every pair (U1-U4);
-at web scale we verify in two tiers:
+at web scale we verify in tiers:
 
-1. **Signature estimate** (pure Column, no text shuffle): MinHash register
-   match fraction — cheap, runs on the signatures already in hand.
-2. **Exact shingle Jaccard** (Arrow pandas UDF over the candidate pairs'
-   texts): ground truth for the J >= threshold cut. Only candidates that
-   survive the estimate prefilter pay the text join.
+1. **Signature estimate** (pure Column): MinHash register match fraction —
+   no text shuffle, drops most junk candidates using columns in hand.
+2. **Exact shingle Jaccard**. Two interchangeable engines:
+   - ``shingle_join`` (default): each candidate document's unique shingle-
+     hash set is computed ONCE by a map-only Arrow UDF, then the per-pair
+     intersection is pure JVM (`array_intersect` inside WholeStageCodegen).
+     Big near-clique clusters (boilerplate families) re-verify each hub
+     document hundreds of times — this moves that O(pairs) work out of
+     Python entirely and never re-shingles a document.
+   - ``text_pairs``: per-pair Arrow UDF over (text_a, text_b); fewer bytes
+     shuffled (text vs 8-byte-per-shingle arrays), useful when pair counts
+     are tiny relative to document sizes.
 
-Exactness note: per-pair exact Jaccard uses the same rolling-hash shingle
-sets as the signature stage; 64-bit hash collisions are the only deviation
-from string-set Jaccard (P ~ m^2/2^64, negligible — and the DuckDB oracle
-agrees empirically at sf0.01).
+Exactness: both engines compute |A∩B| / |A∪B| over 64-bit shingle hashes;
+collisions are the only deviation from string-set Jaccard (P ~ m²/2^64,
+negligible — the DuckDB oracle agrees hash-identically at sf0.01).
 """
 
 from __future__ import annotations
@@ -21,34 +27,50 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from lash_spark.config import SketchParams
 from lash_spark.estimators import minhash_jaccard_expr, with_distance_columns
-from lash_spark.hashing import batch_shingle_hashes
+from lash_spark.hashing import batch_shingle_hash_segments
+
+
+def _encode(texts: pd.Series) -> "list[bytes]":
+    return [t.encode("utf-8") if isinstance(t, str) else b"" for t in texts]
+
+
+def make_shingle_set_udf(k: int):
+    """text -> sorted unique shingle hashes (array<long>), map-only."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def shingle_set(texts: pd.Series) -> pd.Series:
+        h, seg = batch_shingle_hash_segments(_encode(texts), k)
+        h = h.view(np.int64)
+        return pd.Series([h[seg[i] : seg[i + 1]] for i in range(len(texts))])
+
+    return shingle_set
 
 
 def make_exact_jaccard_udf(k: int):
     @F.pandas_udf("double")
     def exact_jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        enc_a = [t.encode("utf-8") if isinstance(t, str) else b"" for t in ta]
-        enc_b = [t.encode("utf-8") if isinstance(t, str) else b"" for t in tb]
-        ha = batch_shingle_hashes(enc_a, k)
-        hb = batch_shingle_hashes(enc_b, k)
-        out = np.zeros(len(ha), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(ha, hb)):
-            if x.size == 0 and y.size == 0:
-                out[i] = 0.0
+        ha, sa = batch_shingle_hash_segments(_encode(ta), k)
+        hb, sb = batch_shingle_hash_segments(_encode(tb), k)
+        out = np.zeros(len(ta), dtype=np.float64)
+        for i in range(len(ta)):
+            x = ha[sa[i] : sa[i + 1]]
+            y = hb[sb[i] : sb[i + 1]]
+            if x.size == 0 or y.size == 0:
                 continue
-            inter = np.intersect1d(x, y, assume_unique=True).size
+            idx = np.searchsorted(x, y)
+            idx[idx >= x.size] = x.size - 1
+            inter = int((x[idx] == y).sum())
             out[i] = inter / (x.size + y.size - inter)
         return pd.Series(out)
 
     return exact_jaccard
 
 
-def estimate_pairs(
-    pairs: DataFrame, sig_df: DataFrame, id_col: str = "url"
-) -> DataFrame:
+def estimate_pairs(pairs: DataFrame, sig_df: DataFrame, id_col: str = "url") -> DataFrame:
     """Attach the MinHash-estimate Jaccard to candidate pairs (tier 1)."""
     a, b = f"{id_col}_a", f"{id_col}_b"
     sig = sig_df.select(F.col(id_col), "minhash")
@@ -57,6 +79,39 @@ def estimate_pairs(
         .join(sig.withColumnsRenamed({id_col: b, "minhash": "mh_b"}), b)
         .withColumn("est_jaccard", minhash_jaccard_expr("mh_a", "mh_b"))
         .drop("mh_a", "mh_b")
+    )
+
+
+def exact_jaccard_join(
+    pairs: DataFrame,
+    docs: DataFrame,
+    k: int,
+    id_col: str = "url",
+    text_col: str = "norm_text",
+) -> DataFrame:
+    """pairs + exact jaccard via the shingle-set join engine."""
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    cand_ids = (
+        pairs.select(F.col(a).alias(id_col))
+        .unionByName(pairs.select(F.col(b).alias(id_col)))
+        .distinct()
+    )
+    sets = (
+        docs.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), make_shingle_set_udf(k)(F.col(text_col)).alias("sh"))
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(sets.withColumnsRenamed({id_col: a, "sh": "sh_a"}), a)
+        .join(sets.withColumnsRenamed({id_col: b, "sh": "sh_b"}), b)
+        .withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .drop("sh_a", "sh_b")
     )
 
 
@@ -70,26 +125,29 @@ def verify_pairs(
     estimate_margin: float | None = 0.15,
     sig_df: DataFrame | None = None,
     with_distances: bool = True,
+    method: str = "shingle_join",
 ) -> DataFrame:
     """Candidates -> verified near-dup pairs with exact jaccard (+ mash
-    distances). If ``sig_df`` given, prefilter by estimate >= threshold -
-    margin before shuffling texts."""
+    distances). With ``sig_df``, prefilter by estimate >= threshold-margin
+    before any text/shingle shuffle."""
     a, b = f"{id_col}_a", f"{id_col}_b"
     if sig_df is not None and estimate_margin is not None:
         pairs = estimate_pairs(pairs, sig_df, id_col).filter(
             F.col("est_jaccard") >= threshold - estimate_margin
         )
-    texts = docs.select(F.col(id_col), F.col(text_col))
-    joined = (
-        pairs.join(texts.withColumnsRenamed({id_col: a, text_col: "text_a"}), a)
-        .join(texts.withColumnsRenamed({id_col: b, text_col: "text_b"}), b)
-    )
-    udf = make_exact_jaccard_udf(params.shingle_k)
-    out = (
-        joined.withColumn("jaccard", udf(F.col("text_a"), F.col("text_b")))
-        .drop("text_a", "text_b")
-        .filter(F.col("jaccard") >= threshold)
-    )
+    if method == "shingle_join":
+        out = exact_jaccard_join(pairs, docs, params.shingle_k, id_col, text_col)
+    else:
+        texts = docs.select(F.col(id_col), F.col(text_col))
+        joined = (
+            pairs.join(texts.withColumnsRenamed({id_col: a, text_col: "text_a"}), a)
+            .join(texts.withColumnsRenamed({id_col: b, text_col: "text_b"}), b)
+        )
+        udf = make_exact_jaccard_udf(params.shingle_k)
+        out = joined.withColumn("jaccard", udf(F.col("text_a"), F.col("text_b"))).drop(
+            "text_a", "text_b"
+        )
+    out = out.filter(F.col("jaccard") >= threshold)
     if with_distances:
         out = with_distance_columns(
             out, "jaccard", k=params.shingle_k, model=params.distance_model
