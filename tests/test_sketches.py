@@ -166,3 +166,63 @@ def test_params_validation():
         SketchParams(algorithm="hll").validate_compatible(
             SketchParams(algorithm="hll", precision=12)
         )
+
+
+# ---------------------------------------------------------------- OPH
+
+def test_oph_jaccard_accuracy():
+    from lash_spark.sketches import densify_rotation, oph_signatures_segments
+
+    a, b = _set(0, 3000), _set(1500, 4500)  # J = 1500/6000 = 0.25
+    h = np.concatenate([a, b])
+    seg = np.array([0, a.size, a.size + b.size])
+    sig = densify_rotation(oph_signatures_segments(h, seg, 128))
+    est = float(np.mean(sig[0] == sig[1]))
+    true_j = np.intersect1d(a, b).size / np.union1d(a, b).size
+    assert abs(est - true_j) < 4 * math.sqrt(true_j * (1 - true_j) / 128)
+
+
+def test_oph_deterministic_and_batch_invariant():
+    from lash_spark.sketches import densify_rotation, oph_signatures_segments
+
+    d = _set(7, 500)
+    alone = densify_rotation(oph_signatures_segments(d, np.array([0, 500]), 64))[0]
+    h = np.concatenate([_set(999, 100), d])
+    packed = densify_rotation(oph_signatures_segments(h, np.array([0, 100, 600]), 64))[1]
+    assert np.array_equal(alone, packed)
+
+
+def test_oph_small_doc_densifies_fully():
+    from lash_spark.sketches import EMPTY_MIN, densify_rotation, oph_signatures_segments
+
+    d = _set(3, 5)  # 5 elements, 128 bins
+    sig = densify_rotation(oph_signatures_segments(d, np.array([0, 5]), 128))
+    assert not (sig[0] == EMPTY_MIN).any()
+    # identical tiny docs -> identical signatures
+    h = np.concatenate([d, d])
+    s2 = densify_rotation(oph_signatures_segments(h, np.array([0, 5, 10]), 128))
+    assert np.array_equal(s2[0], s2[1])
+
+
+def test_oph_empty_doc_stays_empty():
+    from lash_spark.sketches import EMPTY_MIN, densify_rotation, oph_signatures_segments
+
+    sig = densify_rotation(
+        oph_signatures_segments(np.empty(0, dtype=np.uint64), np.array([0, 0]), 32)
+    )
+    assert (sig[0] == EMPTY_MIN).all()
+
+
+def test_simhash_from_signature_tracks_jaccard():
+    from lash_spark.sketches import densify_rotation, oph_signatures_segments, simhash_from_signature
+
+    a = _set(0, 2000)
+    near = np.concatenate([a[:1900], _set(50_000, 100)])
+    far = _set(90_000, 2000)
+    h = np.concatenate([a, near, far])
+    seg = np.array([0, 2000, 4000, 6000])
+    sig = densify_rotation(oph_signatures_segments(h, seg, 128))
+    fp = simhash_from_signature(sig).view(np.uint64)
+    ham_near = bin(int(fp[0] ^ fp[1])).count("1")
+    ham_far = bin(int(fp[0] ^ fp[2])).count("1")
+    assert ham_near < ham_far
