@@ -30,7 +30,13 @@ from pyspark.sql import functions as F
 
 
 def explode_bands(sig_df: DataFrame, id_col: str = "url") -> DataFrame:
-    """Signatures -> (id, band_id, band_hash) key rows (O1)."""
+    """Signatures -> (id, band_id, band_hash) key rows (O1).
+
+    Empty-signature documents (text shorter than one shingle) are excluded:
+    they all share the EMPTY register pattern and would otherwise form one
+    giant garbage bucket per band at web scale."""
+    if "n_windows" in sig_df.columns:
+        sig_df = sig_df.filter(F.col("n_windows") > 0)
     return sig_df.select(
         F.col(id_col), F.posexplode("bands").alias("band_id", "band_hash")
     ).withColumn("key", F.col("band_hash")).drop("band_hash")
@@ -129,6 +135,8 @@ def simhash_chunks(sig_df: DataFrame, id_col: str = "url", chunks: int = 4) -> D
     """
     width = 64 // chunks
     mask = (1 << width) - 1
+    if "n_windows" in sig_df.columns:  # same garbage-bucket guard as bands
+        sig_df = sig_df.filter(F.col("n_windows") > 0)
     cols = []
     for c in range(chunks):
         val = F.shiftrightunsigned(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
