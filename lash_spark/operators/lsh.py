@@ -63,8 +63,15 @@ def pairs_from_keys(
     spark = keyed.sparkSession
     star_threshold = star_threshold or max_bucket * salt_buckets * 4
 
+    # (keyed ⋈ census) feeds all three tiers below; persist so the upstream
+    # signature UDF + explode run once per row instead of once per tier
+    # branch (the physical plan otherwise repeats the Arrow subtree).
     stats = band_census(keyed, id_col)
-    k = keyed.join(stats, ["band_id", "key"]).filter(F.col("bucket_n") >= 2)
+    k = (
+        keyed.join(stats, ["band_id", "key"])
+        .filter(F.col("bucket_n") >= 2)
+        .persist()
+    )
 
     a, b = f"{id_col}_a", f"{id_col}_b"
 
