@@ -170,3 +170,26 @@ def test_minhash_jaccard_expr_matches_kernel(spark, tiny_pages):
         .collect()
     )
     assert all(0.0 <= r.j <= 1.0 for r in pair)
+
+
+def test_distance_sinks(spark, tmp_path):
+    from lash_spark.operators.sinks import distance_tsv_df, triangular_matrix, write_distance_tsv
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.123456789), (1, 3, 0.5), (2, 3, 1.0)],
+        "url_a bigint, url_b bigint, distance double",
+    )
+    tsv = {(r.Reference, r.Query): r.Distance for r in distance_tsv_df(pairs).collect()}
+    assert tsv[(1, 2)] == "0.123457"  # %.6f (main.rs:459)
+    assert tsv[(2, 3)] == "1.000000"
+    write_distance_tsv(pairs, str(tmp_path / "tsv"))
+    import glob
+
+    files = glob.glob(str(tmp_path / "tsv" / "*.csv"))
+    head = open(files[0]).readline().strip()
+    assert head == "Reference\tQuery\tDistance"
+
+    m = triangular_matrix(pairs).collect()
+    rows = {r.r: r.asDict() for r in m}
+    assert rows[3]["2"] == 1.0 and rows[3]["1"] == 0.5
+    assert rows[1]["1"] == 0.0  # self-distance 0 (main.rs:452-454)
