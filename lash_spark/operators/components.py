@@ -75,12 +75,14 @@ def connected_components(
         return (row["n"], row["h"])
 
     e = _canonical(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
-    e = e.localCheckpoint(eager=True)
+    # lazy checkpoints: the per-iteration checksum action materializes them,
+    # so each round costs ONE job while lineage still truncates
+    e = e.localCheckpoint(eager=False)
     prev = _checksum(e)
     for it in range(max_iterations):
         e2 = _canonical(_small_star(_large_star(e)))
         if checkpoint_every and it % checkpoint_every == 0:
-            e2 = e2.localCheckpoint(eager=True)
+            e2 = e2.localCheckpoint(eager=False)
         cur = _checksum(e2)
         e = e2
         if cur == prev:  # star-contracted edge set stable -> converged
