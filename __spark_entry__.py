@@ -173,6 +173,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ie_jaccard_containment"] = ie_jaccard
 
+    # ---- word 3-gram Jaccard dedup (bounded subset; SQL-expressible T4
+    # variant — the scale path uses char shingles + LSH instead of all-pairs)
+    def word_ngram_jaccard(spark, sf_dir):
+        d = (
+            _normed(spark, sf_dir)
+            .filter(F.col("doc_id") < 150)
+            .filter(F.size(F.split("norm_text", " ")) >= 3)
+            .select(
+                "doc_id",
+                F.expr(
+                    "array_distinct(transform(sequence(1, size(split(norm_text,' ')) - 2),"
+                    " i -> concat_ws(' ', slice(split(norm_text,' '), i, 3))))"
+                ).alias("g"),
+            )
+        )
+        pairs = (
+            d.alias("a")
+            .crossJoin(d.alias("b"))
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"),
+                F.size(F.array_intersect("a.g", "b.g")).alias("inter"),
+                (F.size("a.g") + F.size("b.g")).alias("tot"),
+            )
+            .withColumn(
+                "jaccard_w3",
+                F.col("inter").cast("double") / (F.col("tot") - F.col("inter")).cast("double"),
+            )
+            .filter(F.col("jaccard_w3") >= 0.5)
+        )
+        return pairs.select("doc_id_a", "doc_id_b", "jaccard_w3")
+
+    q["word_ngram_jaccard_pairs"] = word_ngram_jaccard
+
     # ---- text quality stats
     def doc_stats(spark, sf_dir):
         return with_text_stats(_docs(spark, sf_dir), "text").select(
@@ -402,6 +437,29 @@ SELECT doc_id_a, doc_id_b, card_a, card_b, card_u,
        greatest(0.0, (card_a + card_b - card_u) / card_u) AS jaccard_ie,
        greatest(0.0, (card_a + card_b - card_u) / card_a) AS containment_a
 FROM p
+"""
+
+    o["word_ngram_jaccard_pairs"] = f"""
+WITH w AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+  WHERE doc_id < 150 AND len(string_split({_NORM_SQL}, ' ')) >= 3
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS s
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) i
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+  FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_id_a, db AS doc_id_b,
+       c * 1.0 / (sa.n + sb.n - c) AS jaccard_w3
+FROM inter
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
 """
 
     o["doc_stats"] = f"""
