@@ -140,7 +140,12 @@ def _scaling_job(master: str, n_docs: int, shuffle_partitions: int) -> dict:
     from lash_spark.synth import generate_pages
 
     spark = get_spark(
-        app_name=f"lash_scaling_{master}", master=master, shuffle_partitions=shuffle_partitions
+        app_name=f"lash_scaling_{master}",
+        master=master,
+        shuffle_partitions=shuffle_partitions,
+        # local mode: one JVM holds driver + executors + persisted DFs +
+        # localCheckpoint blocks; size it for the corpus
+        extra_conf={"spark.driver.memory": "48g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     # materialize input first so generation cost is excluded from the measure
