@@ -153,7 +153,10 @@ def _scaling_job(master: str, n_docs: int, shuffle_partitions: int) -> dict:
     pages.write.mode("overwrite").parquet("/tmp/lash_scaling_input")
     docs = spark.read.parquet("/tmp/lash_scaling_input")
     t0 = time.monotonic()
-    res = dedup_pipeline(docs, PipelineConfig(), id_col="url", text_col="text")
+    # cluster-assignment workload: degree-cap boilerplate mega-clusters so
+    # pair volume is linear in corpus size (see verify_pairs docstring)
+    cfg = PipelineConfig(max_pairs_per_doc=64)
+    res = dedup_pipeline(docs, cfg, id_col="url", text_col="text")
     n_pairs = res.dup_pairs.count()
     n_clusters = res.clusters.select("cluster_id").distinct().count()
     wall = time.monotonic() - t0

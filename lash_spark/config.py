@@ -153,6 +153,9 @@ class PipelineConfig:
     max_band_bucket: int = 256
     salt_buckets: int = 8
     star_threshold: int = 512
+    # degree cap for boilerplate mega-clusters (see verify_pairs); None =
+    # emit the full pair set (fixture-recall workloads)
+    max_pairs_per_doc: int | None = None
     # simhash hamming-ball
     simhash_chunks: int = 4
     simhash_max_hamming: int = 3

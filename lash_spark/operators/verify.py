@@ -126,15 +126,38 @@ def verify_pairs(
     sig_df: DataFrame | None = None,
     with_distances: bool = True,
     method: str = "shingle_join",
+    max_pairs_per_doc: int | None = None,
 ) -> DataFrame:
     """Candidates -> verified near-dup pairs with exact jaccard (+ mash
     distances). With ``sig_df``, prefilter by estimate >= threshold-margin
-    before any text/shingle shuffle."""
+    before any text/shingle shuffle.
+
+    ``max_pairs_per_doc``: degree cap for boilerplate mega-clusters — an
+    m-member template family is a true near-clique with m(m-1)/2 pairs
+    (quadratic in m even after bucket-level skew tiers, because OPH
+    splinters it across many mid-size buckets). Keeping each document's
+    top-C strongest-estimate neighbors bounds verify volume linearly while
+    preserving cluster connectivity (every member retains edges into the
+    clique). Off by default: leave None when the workload needs the full
+    pair set (fixture recall); set for cluster-assignment pipelines.
+    """
+    from pyspark.sql import Window
+
     a, b = f"{id_col}_a", f"{id_col}_b"
     if sig_df is not None and estimate_margin is not None:
         pairs = estimate_pairs(pairs, sig_df, id_col).filter(
             F.col("est_jaccard") >= threshold - estimate_margin
         )
+        if max_pairs_per_doc is not None:
+            for side in (a, b):
+                w = Window.partitionBy(side).orderBy(
+                    F.desc("est_jaccard"), F.asc(a), F.asc(b)
+                )
+                pairs = (
+                    pairs.withColumn("_rk", F.row_number().over(w))
+                    .filter(F.col("_rk") <= max_pairs_per_doc)
+                    .drop("_rk")
+                )
     if method == "shingle_join":
         out = exact_jaccard_join(pairs, docs, params.shingle_k, id_col, text_col)
     else:

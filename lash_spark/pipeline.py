@@ -92,6 +92,7 @@ def dedup_pipeline(
             id_col=id_col,
             threshold=cfg.jaccard_threshold,
             sig_df=sigs,
+            max_pairs_per_doc=cfg.max_pairs_per_doc,
         )
 
     if catalog is not None:
