@@ -30,11 +30,32 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--algorithm", default="minhash")
     p.add_argument("--threshold", type=float, default=0.8)
-    p.add_argument("--model", type=int, default=1, help="1=poisson 2=binomial")
+    p.add_argument("--model", type=int, default=1, help="0=binomial 1=poisson (main.rs numbering)")
+    p.add_argument("-e", "--estimator", default="default", help="default|fgra|mle (main.rs:143-151)")
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--id-col", default="url")
     p.add_argument("--text-col", default="text")
+    p.add_argument("--normalize-version", type=int, default=1, help="1=whitespace 2=aggressive")
     p.add_argument("--master", default=None)
+
+
+def load_sketch_params(signatures_dir: str):
+    """Strict artifact discovery (S7): the params sidecar written at sketch
+    time MUST exist next to the signatures table — the reference's
+    find_files panics when the artifact triple is incomplete
+    (``/root/reference/src/main.rs:284-337``). Exits with the panic-style
+    message instead of silently skipping validation."""
+    from lash_spark.config import SketchParams
+
+    sidecar = f"{signatures_dir}_parameters.json"
+    try:
+        with open(sidecar) as f:
+            return SketchParams(**json.load(f))
+    except FileNotFoundError:
+        raise SystemExit(
+            f"error: no parameters file found at {sidecar} "
+            "(signatures must be produced by `sketch`, which writes the sidecar)"
+        )
 
 
 def _spark(args):
@@ -53,6 +74,8 @@ def _params(args):
         seed=args.seed,
         algorithm=args.algorithm,
         distance_model=args.model,
+        estimator=getattr(args, "estimator", "default"),
+        normalize_version=getattr(args, "normalize_version", 1),
     )
 
 
@@ -68,6 +91,16 @@ def main(argv=None):
     p = sub.add_parser("pairs", help="signatures (+docs) -> verified dup pairs")
     p.add_argument("--signatures", required=True)
     p.add_argument("--docs", required=True)
+    p.add_argument("--output", required=True)
+    _add_common(p)
+
+    p = sub.add_parser(
+        "dist", help="query sketches x reference sketches -> distance TSV (main.rs dist)"
+    )
+    p.add_argument("--query", required=True, help="query signatures dir (from `sketch`)")
+    p.add_argument("--reference", required=True, help="reference signatures dir")
+    p.add_argument("--query-docs", required=True)
+    p.add_argument("--reference-docs", required=True)
     p.add_argument("--output", required=True)
     _add_common(p)
 
@@ -114,15 +147,9 @@ def main(argv=None):
         from lash_spark.operators.verify import verify_pairs
 
         params = _params(args)
-        # F6 compatibility validation against the sketch-time params
-        try:
-            with open(f"{args.signatures}_parameters.json") as f:
-                from lash_spark.config import SketchParams
-
-                sketch_params = SketchParams(**json.load(f))
-            params.validate_compatible(sketch_params)
-        except FileNotFoundError:
-            pass
+        # F6 compatibility validation against the sketch-time params —
+        # strict: a missing sidecar is a hard error (S7, main.rs:284-337)
+        params.validate_compatible(load_sketch_params(args.signatures))
         sigs = spark.read.parquet(args.signatures)
         docs = with_normalized_text(spark.read.parquet(args.docs), args.text_col)
         cands = lsh_candidate_pairs(sigs, id_col=args.id_col)
@@ -133,6 +160,57 @@ def main(argv=None):
             verified = verified.withColumn("jaccard", F.col("jaccard").cast("float"))
         verified.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"pairs": args.output, "rows": verified.count()}))
+
+    elif args.cmd == "dist":
+        from lash_spark.estimators import with_distance_columns
+        from lash_spark.operators.lsh import cross_lsh_candidate_pairs
+        from lash_spark.operators.normalize import with_normalized_text
+        from lash_spark.operators.sinks import write_distance_tsv
+        from lash_spark.operators.verify import cross_verify_pairs
+
+        # strict discovery + F6 cross-validation (main.rs:284-337,368-381)
+        params_q = load_sketch_params(args.query)
+        params_r = load_sketch_params(args.reference)
+        params_q.validate_compatible(params_r)
+        same_files = args.query == args.reference  # main.rs:404
+        sig_q = spark.read.parquet(args.query)
+        docs_q = with_normalized_text(
+            spark.read.parquet(args.query_docs), args.text_col,
+            version=params_q.normalize_version,
+        )
+        if same_files:
+            from lash_spark.operators.lsh import lsh_candidate_pairs
+            from lash_spark.operators.verify import verify_pairs
+
+            cands = lsh_candidate_pairs(sig_q, id_col=args.id_col)
+            verified = verify_pairs(
+                cands, docs_q, params_q, id_col=args.id_col,
+                threshold=args.threshold, sig_df=sig_q, with_distances=False,
+            )
+            ia, ib = f"{args.id_col}_a", f"{args.id_col}_b"
+            verified = with_distance_columns(
+                verified, "jaccard", k=params_q.shingle_k,
+                model=params_q.distance_model, fp32=args.fp32, id_col=args.id_col,
+            )
+        else:
+            sig_r = spark.read.parquet(args.reference)
+            docs_r = with_normalized_text(
+                spark.read.parquet(args.reference_docs), args.text_col,
+                version=params_r.normalize_version,
+            )
+            cands = cross_lsh_candidate_pairs(sig_q, sig_r, id_col=args.id_col)
+            verified = cross_verify_pairs(
+                cands, docs_q, docs_r, params_q, id_col=args.id_col,
+                threshold=args.threshold, sig_q=sig_q, sig_r=sig_r,
+            )
+            ia, ib = f"{args.id_col}_r", f"{args.id_col}_q"
+            verified = with_distance_columns(
+                verified, "jaccard", k=params_q.shingle_k,
+                model=params_q.distance_model, fp32=args.fp32, id_col=args.id_col,
+            )
+        write_distance_tsv(verified, args.output, id_a=ia, id_b=ib)
+        print(json.dumps({"dist": args.output, "rows": verified.count(),
+                          "same_files": same_files}))
 
     elif args.cmd == "cluster":
         from lash_spark.operators.components import assign_clusters

@@ -13,7 +13,11 @@ import math
 from dataclasses import asdict, dataclass, field
 
 ALGORITHMS = ("minhash", "hll", "ull", "hmh", "simhash")
-DISTANCE_MODELS = (1, 2)  # 1 = poisson (reference default), 2 = binomial
+# Reference numbering (main.rs:415-423): 0 = binomial, 1 = poisson
+# (reference default). 2 is kept as a legacy alias of binomial so existing
+# engine configs don't renumber.
+DISTANCE_MODELS = (0, 1, 2)
+ESTIMATORS = ("default", "fgra", "mle")  # -e analog (main.rs:143-151)
 
 
 @dataclass(frozen=True)
@@ -32,8 +36,9 @@ class SketchParams:
     num_perm: int = 128          # MinHash signature length (power of two)
     precision: int = 10          # 2^p registers for hll/ull/hmh
     seed: int = 42
-    distance_model: int = 1      # 1=poisson, 2=binomial (main.rs:415-423)
-    normalize_version: int = 1   # frozen text-normalization version
+    distance_model: int = 1      # 0=binomial, 1=poisson (main.rs:415-423)
+    estimator: str = "default"   # default | fgra | mle (-e, main.rs:143-151)
+    normalize_version: int = 1   # frozen text-normalization version (1 | 2)
     # "oph": one-permutation hashing + rotation densification — O(windows)
     #        per doc, the 10^12-doc mode (Li et al. 2012 / Shrivastava 2017).
     # "kperm": classic k independent permutations — O(windows * num_perm),
@@ -52,6 +57,10 @@ class SketchParams:
         if self.distance_model not in DISTANCE_MODELS:
             # reference panics on unknown model (main.rs:421)
             raise ValueError(f"distance model must be one of {DISTANCE_MODELS}")
+        if self.estimator not in ESTIMATORS:
+            raise ValueError(f"estimator must be one of {ESTIMATORS}")
+        if self.normalize_version not in (1, 2):
+            raise ValueError("normalize_version must be 1 or 2")
         if self.minhash_mode not in ("oph", "kperm"):
             raise ValueError("minhash_mode must be 'oph' or 'kperm'")
         if self.minhash_mode == "oph" and (self.num_perm & (self.num_perm - 1)) != 0:

@@ -93,28 +93,38 @@ def shared_fraction_expr(jaccard: Column | str) -> Column:
 
 
 def mash_distance_expr(frac: Column | str, k: int, model: int = 1) -> Column:
-    """F2/F3 (main.rs:415-423). model 1 = poisson min(-ln(frac)/k, 1);
-    model 2 = binomial 1 - frac^(1/k). frac<=0 -> distance 1."""
+    """F2/F3 (main.rs:415-423, reference numbering: 0 = binomial,
+    1 = poisson). model 1 = poisson min(-ln(frac)/k, 1); model 0 or 2 =
+    binomial 1 - frac^(1/k) (2 kept as a legacy alias). frac<=0 -> 1."""
     f = _c(frac)
     if model == 1:
         d = F.least(F.lit(1.0), -F.log(f) / F.lit(float(k)))
-    elif model == 2:
+    elif model in (0, 2):
         d = F.lit(1.0) - F.pow(f, F.lit(1.0 / k))
     else:  # reference panics on unknown model (main.rs:421)
-        raise ValueError("distance model must be 1 or 2")
+        raise ValueError("distance model must be 0 (binomial), 1 (poisson), or 2")
     # greatest(0, d) also normalizes -0.0 (from -ln(1)/k) to 0.0
     return F.when(f <= 0.0, F.lit(1.0)).otherwise(F.greatest(F.lit(0.0), d))
 
 
 def with_distance_columns(
-    df, jaccard_col: str = "jaccard", k: int = 16, model: int = 1, fp32: bool = False
+    df,
+    jaccard_col: str = "jaccard",
+    k: int = 16,
+    model: int = 1,
+    fp32: bool = False,
+    id_col: str = "url",
 ):
-    """Adds frac + distance columns; self-pairs (url_a==url_b) forced to
-    d=0 (J3, main.rs:452-454). fp32 mirrors the --fp32 down-cast (F4)."""
+    """Adds frac + distance columns; self-pairs ({id}_a == {id}_b) forced
+    to d=0 (J3, main.rs:452-454). fp32 mirrors the --fp32 down-cast (F4)."""
     frac = shared_fraction_expr(jaccard_col)
     d = mash_distance_expr(frac, k, model)
-    if "url_a" in df.columns and "url_b" in df.columns:
-        d = F.when(F.col("url_a") == F.col("url_b"), F.lit(0.0)).otherwise(d)
+    # self-pair rule covers both the triangular (_a/_b) and the two-dataset
+    # query×reference (_q/_r) column conventions (same-name rows)
+    for a, b in ((f"{id_col}_a", f"{id_col}_b"), (f"{id_col}_q", f"{id_col}_r")):
+        if a in df.columns and b in df.columns:
+            d = F.when(F.col(a) == F.col(b), F.lit(0.0)).otherwise(d)
+            break
     out = df.withColumn("frac", frac).withColumn("distance", d)
     if fp32:
         out = out.withColumn("frac", F.col("frac").cast("float")).withColumn(

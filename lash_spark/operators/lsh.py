@@ -114,7 +114,14 @@ def pairs_from_keys(
         .select(F.col("rep").alias(a), F.col(id_col).alias(b))
     )
 
-    return p1.unionByName(p2).unionByName(p3).dropDuplicates([a, b])
+    out = p1.unionByName(p2).unionByName(p3).dropDuplicates([a, b])
+    # Materialize the (small) pair set eagerly so the keyed+census cache can
+    # be released immediately — callers get a lineage-truncated DataFrame
+    # instead of a plan that pins `k` for the application lifetime, and the
+    # three-tier union never re-executes for multiple downstream consumers.
+    out = out.localCheckpoint(eager=True)
+    k.unpersist()
+    return out
 
 
 def lsh_candidate_pairs(
@@ -131,6 +138,79 @@ def lsh_candidate_pairs(
         max_bucket=max_bucket,
         salt_buckets=salt_buckets,
         star_threshold=star_threshold,
+    )
+
+
+def cross_pairs_from_keys(
+    keyed_q: DataFrame,
+    keyed_r: DataFrame,
+    id_col: str = "url",
+    max_bucket: int = 2000,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Two-dataset candidate pairs (the reference's query × reference
+    ``dist`` mode, ``/root/reference/src/main.rs:353-401``): equi-join the
+    query key rows against the reference key rows on (band_id, key).
+    Returns distinct (id_q, id_r) — no triangular filter (the pair (q, r)
+    is ordered by role, not by id; J2 applies only in the same-files case,
+    which callers handle by routing to pairs_from_keys instead).
+
+    Skew: per-bucket pair volume is |Q_bucket|·|R_bucket|. Buckets whose
+    *reference* side exceeds ``max_bucket`` are salted — the hot reference
+    rows get a random salt and each query row is replicated to all
+    ``salt_buckets`` salts, splitting one hot reducer into S balanced ones
+    while still emitting every (q, r) pair exactly once."""
+    idq, idr = f"{id_col}_q", f"{id_col}_r"
+    spark = keyed_q.sparkSession
+
+    r_census = keyed_r.groupBy("band_id", "key").agg(F.count(id_col).alias("r_n"))
+    rk = keyed_r.join(r_census, ["band_id", "key"])
+
+    # cold buckets: plain equi-join
+    r_cold = rk.filter(F.col("r_n") <= max_bucket).select("band_id", "key", id_col)
+    p1 = (
+        keyed_q.alias("q")
+        .join(r_cold.alias("r"), ["band_id", "key"])
+        .select(F.col(f"q.{id_col}").alias(idq), F.col(f"r.{id_col}").alias(idr))
+    )
+
+    # hot buckets: salt the reference side, replicate the query side
+    r_hot = (
+        rk.filter(F.col("r_n") > max_bucket)
+        .select("band_id", "key", id_col)
+        .withColumn("salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)).cast("int"))
+    )
+    salts = spark.range(salt_buckets).select(F.col("id").cast("int").alias("salt"))
+    hot_keys = r_hot.select("band_id", "key").distinct()
+    q_rep = (
+        keyed_q.join(hot_keys, ["band_id", "key"], "left_semi")
+        .crossJoin(F.broadcast(salts))
+    )
+    p2 = (
+        q_rep.alias("q")
+        .join(r_hot.alias("r"), ["band_id", "key", "salt"])
+        .select(F.col(f"q.{id_col}").alias(idq), F.col(f"r.{id_col}").alias(idr))
+    )
+
+    out = p1.unionByName(p2).dropDuplicates([idq, idr])
+    return out.localCheckpoint(eager=True)
+
+
+def cross_lsh_candidate_pairs(
+    sig_q: DataFrame,
+    sig_r: DataFrame,
+    id_col: str = "url",
+    max_bucket: int = 2000,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """MinHash-LSH candidates between a query and a reference signature set
+    (two-dataset mode — main.rs:353-401, utils.rs:150-161)."""
+    return cross_pairs_from_keys(
+        explode_bands(sig_q, id_col),
+        explode_bands(sig_r, id_col),
+        id_col=id_col,
+        max_bucket=max_bucket,
+        salt_buckets=salt_buckets,
     )
 
 

@@ -18,20 +18,35 @@ from pyspark.sql import functions as F
 NORMALIZE_VERSION = 1
 
 
-def normalize_text(col: Column | str) -> Column:
-    """V1 frozen normalization: lower, collapse \\s+ -> ' ', trim."""
+def normalize_text(col: Column | str, version: int = 1) -> Column:
+    """Frozen normalization profiles (config-selectable, T1/T2 — the
+    reference exposes two alphabet profiles, DNA and AA, utils.rs:33-55):
+
+    - v1: lower, collapse \\s+ -> ' ', trim (the default profile).
+    - v2 ("aggressive", the AA-profile analog): lower, replace every
+      non-[a-z0-9] run with a single space, trim — collapses punctuation/
+      unicode noise so boilerplate variants normalize identically.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    if version == 1:
+        return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    if version == 2:
+        return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+    raise ValueError("normalize version must be 1 or 2")
 
 
 def with_normalized_text(
-    df: DataFrame, text_col: str = "text", out_col: str = "norm_text", min_len: int = 1
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    min_len: int = 1,
+    version: int = 1,
 ) -> DataFrame:
     """Adds the normalized column and applies the min-length guard (T3,
     utils.rs:460-462): docs shorter than one shingle survive the scan but
     produce empty signatures downstream; docs with empty normalized text
     are dropped here (nothing to sketch)."""
-    out = df.withColumn(out_col, normalize_text(text_col))
+    out = df.withColumn(out_col, normalize_text(text_col, version))
     return out.filter(F.length(out_col) >= min_len)
 
 

@@ -20,22 +20,36 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lash_spark.config import LshPlan, SketchParams
-from lash_spark.hashing import batch_shingle_hashes, perm_keys
+from lash_spark.hashing import perm_keys
 from lash_spark.sketches import (
     EMPTY_MIN,
     band_hashes,
-    hll_registers,
-    hmh_registers,
-    simhash64,
-    ull_registers,
+    hll_cardinality_batch,
+    hll_registers_segments,
+    hmh_registers_segments,
+    sig_to_reg32,
+    ull_registers_segments,
 )
 
+# minhash registers travel as int32 (order-preserving high-32-bit view,
+# sketches.sig_to_reg32): the estimate prefilter shuffles both sides of
+# every candidate pair, so register width is the dominant shuffle cost.
 SIGNATURE_SCHEMA = T.StructType(
     [
-        T.StructField("minhash", T.ArrayType(T.LongType()), False),
+        T.StructField("minhash", T.ArrayType(T.IntegerType()), False),
         T.StructField("simhash", T.LongType(), False),
         T.StructField("bands", T.ArrayType(T.LongType()), False),
         T.StructField("n_windows", T.LongType(), False),
+    ]
+)
+
+REGISTER_SCHEMA = T.StructType(
+    [
+        T.StructField("regs", T.ArrayType(T.IntegerType()), False),
+        # cached cardinality estimate (S4/S5 — the reference caches
+        # hll.len() at load time, utils.rs:214-222): computed once at sketch
+        # time so IE-Jaccard pair phases never re-run the estimator per side
+        T.StructField("card_est", T.DoubleType(), False),
     ]
 )
 
@@ -91,7 +105,7 @@ def make_signature_udf(params: SketchParams, plan: LshPlan):
         bands = band_hashes(sigs, b_, r_, seed).view(np.int64)
         return pd.DataFrame(
             {
-                "minhash": list(sigs.view(np.int64)),
+                "minhash": list(sig_to_reg32(sigs)),
                 "simhash": simhashes,
                 "bands": list(bands),
                 "n_windows": counts,
@@ -102,16 +116,30 @@ def make_signature_udf(params: SketchParams, plan: LshPlan):
 
 
 def make_register_udf(params: SketchParams):
-    """Scalar pandas UDF: text -> array<int> register sketch for the
-    configured algorithm (hll | ull | hmh)."""
+    """Scalar pandas UDF: text -> struct(regs: array<int>, card_est) for the
+    configured algorithm (hll | ull | hmh). One segment-scatter pass per
+    Arrow batch — no per-document Python dispatch (register inserts are
+    dedup-invariant bucket max, so the window multiset feeds them directly)."""
     k, p, seed, alg = params.shingle_k, params.precision, params.seed, params.algorithm
-    kernel = {"hll": hll_registers, "ull": ull_registers, "hmh": hmh_registers}[alg]
+    kernel = {
+        "hll": hll_registers_segments,
+        "ull": ull_registers_segments,
+        "hmh": hmh_registers_segments,
+    }[alg]
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def register_udf(texts: pd.Series) -> pd.Series:
-        # register inserts are dedup-invariant (bucket max / min) -> multiset
-        hash_sets = batch_shingle_hashes(_encode(texts), k, unique=False)
-        return pd.Series([kernel(hs, p, seed) for hs in hash_sets])
+    @F.pandas_udf(REGISTER_SCHEMA)
+    def register_udf(texts: pd.Series) -> pd.DataFrame:
+        from lash_spark.hashing import batch_window_hash_segments
+
+        h, seg = batch_window_hash_segments(_encode(texts), k)
+        regs = kernel(h, seg, p, seed)
+        if alg == "ull":  # cached estimate uses the rank field
+            card = hll_cardinality_batch((regs >> 2).astype(np.int32))
+        elif alg == "hmh":  # rank field lives above the 16 sub-hash bits
+            card = hll_cardinality_batch((regs >> 16).astype(np.int32))
+        else:
+            card = hll_cardinality_batch(regs)
+        return pd.DataFrame({"regs": list(regs), "card_est": card})
 
     return register_udf
 
@@ -134,7 +162,14 @@ def add_signatures(
 def add_register_sketch(
     df: DataFrame, params: SketchParams, text_col: str = "norm_text", out_col: str = "regs"
 ) -> DataFrame:
-    return df.withColumn(out_col, make_register_udf(params)(F.col(text_col)))
+    """Appends the register sketch + its cached cardinality estimate
+    (``card_est``, S4/S5) in one map-only pass."""
+    tmp = df.withColumn("_rs", make_register_udf(params)(F.col(text_col)))
+    return (
+        tmp.withColumn(out_col, F.col("_rs.regs"))
+        .withColumn("card_est", F.col("_rs.card_est"))
+        .drop("_rs")
+    )
 
 
 def build_signatures(

@@ -3,14 +3,24 @@
 Flags document pairs sharing an exact substring of length >= L. Instead of
 a monolithic distributed suffix array, we use the winnowing fingerprint
 scheme (Schleimer, Wilkerson, Aiken, SIGMOD 2003): rolling k-gram hashes, then
-keep the minimum hash position of every window of w = L - k + 1 consecutive
+keep the minimum hash of every window of w = L - k + 1 consecutive
 k-grams. Guarantee: any shared substring of length >= L shares at least one
 selected fingerprint, so the fingerprint equi-join is a *complete* candidate
-generator; candidates are then verified exactly with a per-pair longest-
-common-substring check (bounded — only candidate pairs pay it).
+generator.
 
-Scale shape: fingerprinting is map-only (Arrow UDF); the join reuses the
-skew-tiered pair generator; verification is a pandas UDF over pair texts.
+Verification (the per-candidate hot path) is shaped like the near-dup
+verify engine (operators/verify.py): each candidate document's unique
+length-L window-hash set is computed ONCE by a map-only Arrow UDF, then the
+per-pair check is `arrays_overlap` — pure JVM inside WholeStageCodegen, no
+per-pair Python. Two documents share a substring of length >= L iff they
+share a length-L window, so overlap of the window-hash sets decides the
+pair exactly (64-bit hash collisions are the only deviation, P ~ m²/2^64).
+
+The exact maximal common-substring *length* is an optional second pass
+(``common_substring_lengths``) that only confirmed pairs pay.
+
+Scale shape: fingerprinting is map-only (Arrow UDF, O(n) sliding minimum);
+the join reuses the skew-tiered pair generator; verification is JVM-side.
 """
 
 from __future__ import annotations
@@ -21,8 +31,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from lash_spark.hashing import rolling_window_hashes
+from lash_spark.hashing import U64, rolling_window_hashes
 from lash_spark.operators.lsh import pairs_from_keys
+
+_U64_MAX = U64(0xFFFFFFFFFFFFFFFF)
+
+
+def sliding_min(h: np.ndarray, w: int) -> np.ndarray:
+    """Minimum of every window of ``w`` consecutive elements, O(n).
+
+    Block decomposition (two monotone scans): split into blocks of size w,
+    prefix-min and suffix-min within each block; the window starting at i
+    is covered exactly by suffix[i] (i to its block end) plus
+    prefix[i+w-1] (block start to i+w-1). Replaces the O(n·w)
+    sliding_window_view().min(axis=1) hot loop."""
+    n = h.size
+    if w <= 1:
+        return h.copy()
+    if n <= w:
+        return h.min(keepdims=True) if n else h.copy()
+    nw = n - w + 1
+    nblocks = -(-n // w)
+    pad = nblocks * w - n
+    hp = np.concatenate([h, np.full(pad, _U64_MAX, dtype=h.dtype)]) if pad else h
+    blocks = hp.reshape(nblocks, w)
+    pref = np.minimum.accumulate(blocks, axis=1).reshape(-1)
+    suff = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].reshape(-1)
+    return np.minimum(suff[:nw], pref[w - 1 : w - 1 + nw])
 
 
 def winnow_fingerprints(data: bytes, min_len: int, k: int = 32) -> np.ndarray:
@@ -33,13 +68,7 @@ def winnow_fingerprints(data: bytes, min_len: int, k: int = 32) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     h = rolling_window_hashes(buf, k)
     w = min_len - k + 1
-    if h.size <= w:
-        return np.unique(h[h.argmin() : h.argmin() + 1])
-    # min over each window of w consecutive hashes
-    from numpy.lib.stride_tricks import sliding_window_view
-
-    wins = sliding_window_view(h, w)
-    return np.unique(wins.min(axis=1))
+    return np.unique(sliding_min(h, w))
 
 
 def make_fingerprint_udf(min_len: int, k: int = 32):
@@ -54,9 +83,27 @@ def make_fingerprint_udf(min_len: int, k: int = 32):
     return fp_udf
 
 
+def make_window_set_udf(win_len: int):
+    """text -> unique hashes of every length-``win_len`` byte window
+    (array<long>), map-only. One rolling-hash pass per document."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def win_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            data = t.encode("utf-8") if isinstance(t, str) else b""
+            buf = np.frombuffer(data, dtype=np.uint8)
+            out.append(np.unique(rolling_window_hashes(buf, win_len)).view(np.int64))
+        return pd.Series(out)
+
+    return win_udf
+
+
 def _lcs_length(a: bytes, b: bytes, min_len: int) -> int:
-    """Longest common substring >= min_len via binary search on length with
-    rolling-hash sets (exactness: hash match then confirmed by comparison)."""
+    """Longest common substring length (>= min_len, else 0) via binary
+    search on length with rolling-hash sets; hash matches are confirmed by
+    byte comparison. Only candidate pairs that already passed the
+    window-overlap verify pay this (optional second pass)."""
 
     def has_common(L: int) -> int:
         if L == 0 or len(a) < L or len(b) < L:
@@ -105,10 +152,14 @@ def exact_substring_pairs(
     max_bucket: int = 2000,
     candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """(id_a, id_b, common_len) for pairs sharing an exact substring of
-    length >= min_len. If ``candidates`` is given (e.g. urls already inside
+    """(id_a, id_b) for pairs sharing an exact substring of length
+    >= min_len. If ``candidates`` is given (e.g. urls already inside
     near-dup clusters), the pass is restricted to those docs (left_semi) —
-    the bounded-pass mode SURVEY.md O5 describes."""
+    the bounded-pass mode SURVEY.md O5 describes.
+
+    Winnowed-fingerprint equi-join (complete generator) -> per-doc
+    length-min_len window-hash sets computed once (map-only Arrow UDF) ->
+    JVM `arrays_overlap` verify. No per-pair Python anywhere."""
     d = docs.select(F.col(id_col), F.col(text_col))
     if candidates is not None:
         d = d.join(candidates.select(id_col).distinct(), id_col, "left_semi")
@@ -120,7 +171,33 @@ def exact_substring_pairs(
     )
     pairs = pairs_from_keys(keyed, id_col=id_col, max_bucket=max_bucket)
     a, b = f"{id_col}_a", f"{id_col}_b"
-    texts = d
+    cand_ids = (
+        pairs.select(F.col(a).alias(id_col))
+        .unionByName(pairs.select(F.col(b).alias(id_col)))
+        .distinct()
+    )
+    wsets = d.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col), make_window_set_udf(min_len)(F.col(text_col)).alias("ws")
+    )
+    return (
+        pairs.join(wsets.withColumnsRenamed({id_col: a, "ws": "ws_a"}), a)
+        .join(wsets.withColumnsRenamed({id_col: b, "ws": "ws_b"}), b)
+        .filter(F.arrays_overlap("ws_a", "ws_b"))
+        .select(a, b)
+    )
+
+
+def common_substring_lengths(
+    pairs: DataFrame,
+    docs: DataFrame,
+    min_len: int = 256,
+    id_col: str = "url",
+    text_col: str = "norm_text",
+) -> DataFrame:
+    """Optional second pass: exact maximal common-substring length for
+    already-confirmed pairs (binary search on length, per pair)."""
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    texts = docs.select(F.col(id_col), F.col(text_col))
     lcs = make_lcs_udf(min_len)
     return (
         pairs.join(texts.withColumnsRenamed({id_col: a, text_col: "ta"}), a)

@@ -115,6 +115,56 @@ def exact_jaccard_join(
     )
 
 
+def cross_verify_pairs(
+    pairs: DataFrame,
+    docs_q: DataFrame,
+    docs_r: DataFrame,
+    params: SketchParams,
+    id_col: str = "url",
+    text_col: str = "norm_text",
+    threshold: float = 0.8,
+    estimate_margin: float | None = 0.15,
+    sig_q: DataFrame | None = None,
+    sig_r: DataFrame | None = None,
+) -> DataFrame:
+    """Two-dataset verify (query × reference ``dist`` mode): same tiering
+    as verify_pairs — MinHash-estimate prefilter, then exact shingle
+    Jaccard via per-document shingle sets + JVM array_intersect. The pair
+    (q, r) is role-ordered, so no triangular filter; q and r may contain
+    the same document (the reference's same-name rows)."""
+    q, r = f"{id_col}_q", f"{id_col}_r"
+    if sig_q is not None and sig_r is not None and estimate_margin is not None:
+        mq = sig_q.select(F.col(id_col).alias(q), F.col("minhash").alias("mh_q"))
+        mr = sig_r.select(F.col(id_col).alias(r), F.col("minhash").alias("mh_r"))
+        pairs = (
+            pairs.join(mq, q)
+            .join(mr, r)
+            .withColumn("est_jaccard", minhash_jaccard_expr("mh_q", "mh_r"))
+            .filter(F.col("est_jaccard") >= threshold - estimate_margin)
+            .drop("mh_q", "mh_r")
+        )
+    sh_udf = make_shingle_set_udf(params.shingle_k)
+
+    def _sets(docs, pair_col):
+        ids = pairs.select(F.col(pair_col).alias(id_col)).distinct()
+        return docs.join(ids, id_col, "left_semi").select(
+            F.col(id_col).alias(pair_col), sh_udf(F.col(text_col)).alias(f"sh_{pair_col[-1]}")
+        )
+
+    inter = F.size(F.array_intersect("sh_q", "sh_r"))
+    union = F.size("sh_q") + F.size("sh_r") - inter
+    return (
+        pairs.join(_sets(docs_q, q), q)
+        .join(_sets(docs_r, r), r)
+        .withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(q, r, "jaccard")
+    )
+
+
 def verify_pairs(
     pairs: DataFrame,
     docs: DataFrame,
@@ -173,6 +223,6 @@ def verify_pairs(
     out = out.filter(F.col("jaccard") >= threshold)
     if with_distances:
         out = with_distance_columns(
-            out, "jaccard", k=params.shingle_k, model=params.distance_model
+            out, "jaccard", k=params.shingle_k, model=params.distance_model, id_col=id_col
         )
     return out

@@ -15,14 +15,14 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lash_spark.config import PipelineConfig
+from lash_spark.config import PipelineConfig, SketchParams
 from lash_spark.lakeio import ParquetCatalog, resume_delta, run_stage
 from lash_spark.operators.components import assign_clusters
 from lash_spark.operators.exact import exact_dup_pairs
-from lash_spark.operators.lsh import lsh_candidate_pairs
+from lash_spark.operators.lsh import cross_lsh_candidate_pairs, lsh_candidate_pairs
 from lash_spark.operators.normalize import with_normalized_text
 from lash_spark.operators.signatures import build_signatures
-from lash_spark.operators.verify import verify_pairs
+from lash_spark.operators.verify import cross_verify_pairs, verify_pairs
 
 
 @dataclass
@@ -46,7 +46,9 @@ def dedup_pipeline(
     plan = cfg.lsh_plan()
     phash = params.params_hash()
 
-    normed = with_normalized_text(docs.select(id_col, text_col), text_col=text_col)
+    normed = with_normalized_text(
+        docs.select(id_col, text_col), text_col=text_col, version=params.normalize_version
+    )
 
     # ---- signatures (map-only; row-level delta resume under a catalog)
     if catalog is not None:
@@ -58,6 +60,13 @@ def dedup_pipeline(
         if existing is not None:
             if not delta.isEmpty():
                 catalog.append(new_sigs, "signatures")
+                # the signature table grew: downstream stage markers (keyed
+                # only on params_hash) are now stale — clear them so
+                # candidates/verify/clusters rebuild over the full table
+                # instead of silently returning results that miss every
+                # newly-added document
+                for stale in ("candidates", "dup_pairs", "clusters"):
+                    catalog.clear_stage(stale)
         else:
             catalog.write(new_sigs, "signatures")
         catalog.set_properties("signatures", {"params_hash": phash, "params": params.to_json()})
@@ -81,7 +90,9 @@ def dedup_pipeline(
     if catalog is not None:
         candidates, _ = run_stage(catalog, "candidates", phash, build_candidates)
     else:
-        candidates = build_candidates().persist()
+        # pairs_from_keys localCheckpoints eagerly, so the candidate set is
+        # already materialized once for all downstream consumers
+        candidates = build_candidates()
 
     # ---- verify (estimate prefilter + exact jaccard + distances)
     def build_verified():
@@ -118,3 +129,52 @@ def dedup_pipeline(
         clusters = build_clusters()
 
     return DedupResult(sigs, candidates, verified, clusters)
+
+
+def cross_dataset_pairs(
+    docs_q: DataFrame,
+    docs_r: DataFrame,
+    params: SketchParams | None = None,
+    params_r: SketchParams | None = None,
+    id_col: str = "url",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    lsh_min_recall: float = 0.995,
+    same_files: bool = False,
+) -> DataFrame:
+    """The reference's primary two-dataset ``dist`` mode
+    (``/root/reference/src/main.rs:353-401``, ``src/utils.rs:150-161``):
+    every query document is compared against the *reference* set, returning
+    ({id}_q, {id}_r, jaccard) for pairs at/above the Jaccard threshold —
+    as an LSH band cross-join + exact verify instead of the reference's
+    all-pairs loop.
+
+    ``params_r`` (defaults to ``params``) is cross-validated F6-style
+    before any pair phase (main.rs:368-381 panic semantics). With
+    ``same_files=True`` (the reference's q == r detection, main.rs:404)
+    the triangular J2 rule applies instead of the ordered q×r semantics.
+    """
+    params = params or SketchParams()
+    params.validate_compatible(params_r or params)
+    from lash_spark.config import LshPlan
+
+    plan = LshPlan.plan(params.num_perm, threshold, lsh_min_recall)
+    nq = with_normalized_text(
+        docs_q.select(id_col, text_col), text_col=text_col, version=params.normalize_version
+    )
+    nr = with_normalized_text(
+        docs_r.select(id_col, text_col), text_col=text_col, version=params.normalize_version
+    )
+    sig_q = build_signatures(nq, params, plan, id_col=id_col).persist()
+    if same_files:
+        cands = lsh_candidate_pairs(sig_q, id_col=id_col)
+        return verify_pairs(
+            cands, nq, params, id_col=id_col, threshold=threshold,
+            sig_df=sig_q, with_distances=False,
+        ).select(f"{id_col}_a", f"{id_col}_b", "jaccard")
+    sig_r = build_signatures(nr, params, plan, id_col=id_col).persist()
+    cands = cross_lsh_candidate_pairs(sig_q, sig_r, id_col=id_col)
+    return cross_verify_pairs(
+        cands, nq, nr, params, id_col=id_col, threshold=threshold,
+        sig_q=sig_q, sig_r=sig_r,
+    )

@@ -102,6 +102,18 @@ def densify_rotation(sig: np.ndarray) -> np.ndarray:
     return out
 
 
+def sig_to_reg32(sig: np.ndarray) -> np.ndarray:
+    """uint64 MinHash registers -> int32 wire registers (order- and
+    equality-preserving): keep the high 32 bits, then flip the sign bit so
+    unsigned order survives the int32 reinterpretation. Halves signature
+    bytes on every shuffle (the estimate prefilter joins both sides of each
+    candidate pair); equal 64-bit registers stay equal, unequal ones
+    collide with P = 2^-32 per register — noise far below the match-
+    fraction estimator's own variance. min/least stays correct because
+    truncation is monotone non-decreasing (min commutes with it)."""
+    return ((sig >> U64(32)) ^ U64(0x80000000)).astype(U64).astype(np.uint32).view(np.int32)
+
+
 def simhash_from_signature(sig: np.ndarray) -> np.ndarray:
     """64-bit fingerprint from a signature matrix (n, P): majority vote of
     each bit across the mixed registers — a b-bit-minwise-style fingerprint
@@ -121,27 +133,49 @@ def simhash_from_signature(sig: np.ndarray) -> np.ndarray:
 
 # ------------------------------------------------------------------- HLL
 
-def hll_registers(hashes: np.ndarray, p: int, seed: int) -> np.ndarray:
-    """HyperLogLog register array (2^p int8-range values in an int32 array).
+def _rank_fields(hashes: np.ndarray, p: int, seed: int):
+    """(register index, rank) per element: j = top p bits, rank = clz of
+    the remaining bits + 1, capped at 64-p+1 (A3 analog, utils.rs:406-413)."""
+    h = hash_with_seed(hashes, seed)
+    j = (h >> U64(64 - p)).astype(np.int64)
+    w = h << U64(p)  # remaining 64-p bits, left-aligned
+    rank = np.minimum(clz64(w) + 1, 64 - p + 1).astype(np.int64)
+    return j, rank
 
-    A3 analog (utils.rs:406-413): j = top p bits, rank = clz of the
-    remaining bits + 1 (capped at 64-p+1); register[j] = max rank.
-    """
+
+def hll_registers(hashes: np.ndarray, p: int, seed: int) -> np.ndarray:
+    """HyperLogLog register array (2^p int8-range values in an int32 array);
+    register[j] = max rank."""
     m = 1 << p
     regs = np.zeros(m, dtype=np.int32)
     if hashes.size == 0:
         return regs
-    h = hash_with_seed(hashes, seed)
-    j = (h >> U64(64 - p)).astype(np.int64)
-    w = h << U64(p)  # remaining 64-p bits, left-aligned
-    rank = np.minimum(clz64(w) + 1, 64 - p + 1).astype(np.int32)
-    np.maximum.at(regs, j, rank)
+    j, rank = _rank_fields(hashes, p, seed)
+    np.maximum.at(regs, j, rank.astype(np.int32))
     return regs
 
 
-def hll_cardinality(regs: np.ndarray) -> float:
-    """Harmonic-mean HLL estimator with small-range correction (A5 analog
-    of ``hll.len()`` / FGRA — utils.rs:214-217,315)."""
+def hll_registers_segments(h: np.ndarray, seg: np.ndarray, p: int, seed: int) -> np.ndarray:
+    """Batch HLL: flat element-hash segments -> (n_docs, 2^p) int32 register
+    matrix in ONE scatter pass over all documents — no per-document Python
+    dispatch (the register analog of oph_signatures_segments)."""
+    n = seg.shape[0] - 1
+    m = 1 << p
+    regs = np.zeros(n * m, dtype=np.int32)
+    if h.size:
+        j, rank = _rank_fields(h, p, seed)
+        row = np.repeat(np.arange(n, dtype=np.int64), np.diff(seg))
+        np.maximum.at(regs, row * m + j, rank.astype(np.int32))
+    return regs.reshape(n, m)
+
+
+def hll_cardinality(regs: np.ndarray, estimator: str = "default") -> float:
+    """A5 analog of ``hll.len()`` with the reference's ``-e`` estimator
+    choice (main.rs:143-151): ``default`` = harmonic mean with linear-
+    counting small-range correction; ``mle`` = Poisson maximum-likelihood
+    over the register histogram (Ertl 2017, arXiv:1702.01284 §3)."""
+    if estimator == "mle":
+        return hll_cardinality_mle(regs)
     m = regs.shape[0]
     alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
     est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
@@ -149,6 +183,69 @@ def hll_cardinality(regs: np.ndarray) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)  # linear counting
     return float(est)
+
+
+def hll_cardinality_batch(regs: np.ndarray) -> np.ndarray:
+    """Vectorized default estimator over a (n_docs, m) register matrix —
+    computes the cached ``card_est`` column (S4/S5 analog of the
+    reference's load-time ``hll.len()`` caching, utils.rs:214-222)."""
+    n, m = regs.shape
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    est = alpha * m * m / np.exp2(-regs.astype(np.float64)).sum(axis=1)
+    zeros = (regs == 0).sum(axis=1).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        linear = m * np.log(np.where(zeros > 0, m / np.maximum(zeros, 1e-300), 1.0))
+    return np.where((est <= 2.5 * m) & (zeros > 0), linear, est)
+
+
+def _poisson_mle(rates: np.ndarray, n_present: np.ndarray, n_absent: np.ndarray,
+                 m: int) -> float:
+    """Maximize sum over observation classes of
+    [n_absent · (-λ·rate) + n_present · log(1 - exp(-λ·rate))] over λ > 0
+    (per-register Poisson arrival model; Ertl 2017 §3). The derivative is
+    strictly decreasing in λ, so bisection finds the unique root. Returns
+    the cardinality estimate n̂ = λ̂ · m."""
+    if n_present.sum() == 0:
+        return 0.0
+
+    def dldl(lam: float) -> float:
+        x = lam * rates
+        # rate·exp(-x)/(1-exp(-x)) = rate/(exp(x)-1), stable via expm1
+        with np.errstate(over="ignore"):
+            gain = n_present * rates / np.expm1(np.minimum(x, 700.0))
+        return float((gain - n_absent * rates).sum())
+
+    lo, hi = 1e-12, 1.0
+    while dldl(hi) > 0 and hi < 1e18:
+        lo, hi = hi, hi * 4.0
+    for _ in range(100):
+        mid = 0.5 * (lo + hi)
+        if dldl(mid) > 0:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi) * m
+
+
+def hll_cardinality_mle(regs: np.ndarray, p: int | None = None) -> float:
+    """Poisson MLE from HLL register values. Register with value q
+    contributes: no element of rank > q (absence at rate 2^-q) AND at least
+    one element of rank q (presence at rate 2^-q); q = 0 means the register
+    saw nothing (absence at total rate 1); the saturated value Q = 64-p+1
+    contributes presence at rate 2^-(Q-1) only."""
+    m = regs.shape[0]
+    p = p if p is not None else int(np.log2(m))
+    q_max = 64 - p + 1
+    counts = np.bincount(regs.astype(np.int64), minlength=q_max + 1).astype(np.float64)
+    rates, n_pres, n_abs = [], [], []
+    if counts[0]:
+        rates.append(1.0); n_pres.append(0.0); n_abs.append(counts[0])
+    for q in range(1, q_max):
+        if counts[q]:
+            rates.append(2.0 ** -q); n_pres.append(counts[q]); n_abs.append(counts[q])
+    if counts[q_max]:
+        rates.append(2.0 ** -(q_max - 1)); n_pres.append(counts[q_max]); n_abs.append(0.0)
+    return _poisson_mle(np.array(rates), np.array(n_pres), np.array(n_abs), m)
 
 
 def register_union(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -174,43 +271,97 @@ def containment(card_a: float, card_b: float, card_u: float) -> float:
 # ------------------------------------------------------------------- ULL
 
 def ull_registers(hashes: np.ndarray, p: int, seed: int) -> np.ndarray:
-    """UltraLogLog-style registers (A4 analog, utils.rs:421-429).
+    """UltraLogLog registers (A4 analog, utils.rs:421-429), Ertl's layout
+    (arXiv:2308.16862): u = (q << 2) | d1 | d0 where q is the max rank and
+    the two extra bits record whether ranks q-1 (d1, bit 1) and q-2
+    (d0, bit 0) were also observed — the information the FGRA/MLE
+    estimators exploit. 0 = empty. Not bit-compatible with the Rust crate
+    (the contract is the algebra, not the layout)."""
+    return ull_registers_segments(
+        hashes, np.array([0, hashes.size], dtype=np.int64), p, seed
+    )[0]
 
-    Ertl's ULL packs (q, extra bits) per register for ~28% space savings;
-    we keep the *algebraic* contract (max-merge + cardinality estimator)
-    with a 2-extra-bit register: reg = 4*rank | low-2-bits-seen mask.
-    Union remains element-wise max on rank and OR on the bit mask — encoded
-    so plain max() is a valid (slightly lossy) merge; we therefore store
-    rank and mask in separate halves and merge exactly in ull_union.
-    """
+
+def ull_registers_segments(h: np.ndarray, seg: np.ndarray, p: int, seed: int) -> np.ndarray:
+    """Batch ULL: three scatter passes over the flat element stream
+    (max-rank, then presence of q-1 / q-2 given the final q)."""
+    n = seg.shape[0] - 1
     m = 1 << p
-    regs = np.zeros(m, dtype=np.int32)
-    if hashes.size == 0:
-        return regs
-    h = hash_with_seed(hashes, seed)
-    j = (h >> U64(64 - p)).astype(np.int64)
-    w = h << U64(p)
-    rank = np.minimum(clz64(w) + 1, 64 - p + 1).astype(np.int32)
-    # pack: high 16 bits = max rank, low 16 bits = OR-mask of (1 << (rank & 15))
-    packed_rank = rank << 16
-    packed_mask = (1 << (rank & 15)).astype(np.int32)
-    np.maximum.at(regs, j, packed_rank)
-    # OR in the mask bits
-    mask_accum = np.zeros(m, dtype=np.int32)
-    np.bitwise_or.at(mask_accum, j, packed_mask)
-    return regs | (mask_accum & 0xFFFF)
+    q = np.zeros(n * m, dtype=np.int64)
+    if h.size:
+        j, rank = _rank_fields(h, p, seed)
+        flat = np.repeat(np.arange(n, dtype=np.int64), np.diff(seg)) * m + j
+        np.maximum.at(q, flat, rank)
+        qf = q[flat]
+        d1 = np.zeros(n * m, dtype=bool)
+        d0 = np.zeros(n * m, dtype=bool)
+        np.logical_or.at(d1, flat[rank == qf - 1], True)
+        np.logical_or.at(d0, flat[rank == qf - 2], True)
+        # d bits are only meaningful when the referenced rank >= 1
+        d1 &= q >= 2
+        d0 &= q >= 3
+        out = (q << 2) | (d1.astype(np.int64) << 1) | d0.astype(np.int64)
+    else:
+        out = q
+    return out.astype(np.int32).reshape(n, m)
+
+
+def _ull_fields(u: np.ndarray):
+    return u >> 2, (u >> 1) & 1, u & 1
 
 
 def ull_union(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    rank = np.maximum(a >> 16, b >> 16)
-    mask = (a | b) & 0xFFFF
-    return (rank << 16) | mask
+    """Exact ULL merge: q = max(qa, qb); the merged q-1/q-2 presence bits
+    collect every rank the two presence sets {q, q-1 if d1, q-2 if d0}
+    contain (utils.rs:355-358 analog with extra-bit bookkeeping)."""
+    qa, d1a, d0a = _ull_fields(a.astype(np.int64))
+    qb, d1b, d0b = _ull_fields(b.astype(np.int64))
+    q = np.maximum(qa, qb)
+
+    def contains(r, qx, d1x, d0x):
+        return ((qx >= 1) & (qx == r)) | ((d1x == 1) & (qx - 1 == r)) | (
+            (d0x == 1) & (qx - 2 == r)
+        )
+
+    d1 = (contains(q - 1, qa, d1a, d0a) | contains(q - 1, qb, d1b, d0b)) & (q >= 2)
+    d0 = (contains(q - 2, qa, d1a, d0a) | contains(q - 2, qb, d1b, d0b)) & (q >= 3)
+    return ((q << 2) | (d1.astype(np.int64) << 1) | d0.astype(np.int64)).astype(np.int32)
 
 
-def ull_cardinality(regs: np.ndarray) -> float:
-    """Estimate via the rank half (reduces to the HLL estimator — the FGRA
-    refinement uses the extra bits; rank-only is within the test tolerance)."""
-    return hll_cardinality((regs >> 16).astype(np.int32))
+def ull_cardinality(regs: np.ndarray, p: int | None = None, estimator: str = "fgra") -> float:
+    """A5 with the ``-e fgra|mle`` choice (main.rs:143-151). Both options
+    run the full-state Poisson MLE over (q, d1, d0) — the extra bits enter
+    the likelihood as independent presence/absence observations at rates
+    2^-(q-1) and 2^-(q-2), which is the same information Ertl's closed-form
+    FGRA coefficients summarize (we solve the likelihood directly instead
+    of reproducing the published coefficient tables). ``rank`` falls back
+    to the harmonic HLL estimator on q alone."""
+    m = regs.shape[0]
+    p = p if p is not None else int(np.log2(m))
+    q, d1, d0 = _ull_fields(regs.astype(np.int64))
+    if estimator == "rank":
+        return hll_cardinality(q.astype(np.int32))
+    q_max = 64 - p + 1
+    rates, n_pres, n_abs = [], [], []
+    empty = float(np.count_nonzero(q == 0))
+    if empty:
+        rates.append(1.0); n_pres.append(0.0); n_abs.append(empty)
+    for qq in range(1, q_max + 1):
+        sel = q == qq
+        nq = float(np.count_nonzero(sel))
+        if not nq:
+            continue
+        if qq < q_max:
+            rates.append(2.0 ** -qq); n_pres.append(nq); n_abs.append(nq)
+        else:  # saturated: only presence at rate 2^-(q_max-1)
+            rates.append(2.0 ** -(q_max - 1)); n_pres.append(nq); n_abs.append(0.0)
+        if qq >= 2:  # d1 observes rank q-1 at rate 2^-(q-1)
+            p1 = float(np.count_nonzero(sel & (d1 == 1)))
+            rates.append(2.0 ** -(qq - 1)); n_pres.append(p1); n_abs.append(nq - p1)
+        if qq >= 3:  # d0 observes rank q-2 at rate 2^-(q-2)
+            p0 = float(np.count_nonzero(sel & (d0 == 1)))
+            rates.append(2.0 ** -(qq - 2)); n_pres.append(p0); n_abs.append(nq - p0)
+    return _poisson_mle(np.array(rates), np.array(n_pres), np.array(n_abs), m)
 
 
 # ------------------------------------------------------------------- HMH
@@ -237,6 +388,25 @@ def hmh_registers(hashes: np.ndarray, p: int, seed: int, r_bits: int = 16) -> np
     enc = ((rank << r_bits) | (mask - sub)).astype(np.int32)
     np.maximum.at(regs, j, enc)
     return regs
+
+
+def hmh_registers_segments(
+    h: np.ndarray, seg: np.ndarray, p: int, seed: int, r_bits: int = 16
+) -> np.ndarray:
+    """Batch HMH: one scatter-max pass over the flat element stream."""
+    n = seg.shape[0] - 1
+    m = 1 << p
+    regs = np.zeros(n * m, dtype=np.int32)
+    if h.size:
+        hh = hash_with_seed(h, seed)
+        j = (hh >> U64(64 - p)).astype(np.int64)
+        rank = np.minimum(clz64(hh << U64(p)) + 1, 64 - p + 1).astype(np.int64)
+        sub = (hh & U64((1 << r_bits) - 1)).astype(np.int64)
+        mask = (1 << r_bits) - 1
+        enc = ((rank << r_bits) | (mask - sub)).astype(np.int32)
+        flat = np.repeat(np.arange(n, dtype=np.int64), np.diff(seg)) * m + j
+        np.maximum.at(regs, flat, enc)
+    return regs.reshape(n, m)
 
 
 def hmh_jaccard(a: np.ndarray, b: np.ndarray) -> float:

@@ -32,12 +32,17 @@ def stream_signatures(
     checkpoint_dir: str | None = None,
     trigger_once: bool = False,
 ) -> StreamingQuery:
-    """readStream(pages) -> signatures table, exactly-once per micro-batch.
+    """readStream(pages) -> signatures table, effectively-once per document.
 
-    foreachBatch gives the batch-function reuse + idempotent append; Spark's
-    streaming checkpoint (offsets) composes with the engine's stage markers
-    so a killed stream resumes mid-source without recomputing batches.
+    foreachBatch with a blind append is only at-least-once (a restart after
+    the append commits but before the offset checkpoint re-runs the batch),
+    so the append is made idempotent per id: each micro-batch anti-joins
+    against the already-signed ids (resume_delta) before writing. Spark's
+    streaming checkpoint (offsets) then composes with the engine's stage
+    markers so a killed stream resumes mid-source without duplicating rows.
     """
+    from lash_spark.lakeio import resume_delta
+
     plan = plan or LshPlan.plan(params.num_perm, 0.8, 0.995)
     catalog.set_properties(
         "signatures", {"params_hash": params.params_hash(), "params": params.to_json()}
@@ -45,6 +50,8 @@ def stream_signatures(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         normed = with_normalized_text(batch_df.select(id_col, text_col), text_col)
+        existing = catalog.read("signatures") if catalog.exists("signatures") else None
+        normed = resume_delta(normed, existing, id_col)
         sigs = build_signatures(normed, params, plan, id_col=id_col, min_parallelism=1)
         catalog.append(sigs, "signatures")
         catalog.log_metrics(

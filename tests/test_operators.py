@@ -103,9 +103,12 @@ def test_exact_substring_pass(spark):
         (3, "no shared block here at all " + "y" * 400),
     ]
     df = spark.createDataFrame(rows, "url bigint, norm_text string")
-    got = exact_substring_pairs(df, min_len=256, id_col="url").collect()
-    pairs = {(r.url_a, r.url_b): r.common_len for r in got}
-    assert set(pairs) == {(1, 2)}
+    got = exact_substring_pairs(df, min_len=256, id_col="url")
+    assert {(r.url_a, r.url_b) for r in got.collect()} == {(1, 2)}
+    from lash_spark.operators.substring import common_substring_lengths
+
+    lens = common_substring_lengths(got, df, min_len=256, id_col="url").collect()
+    pairs = {(r.url_a, r.url_b): r.common_len for r in lens}
     assert pairs[(1, 2)] >= len(block)
 
 
