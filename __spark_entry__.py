@@ -290,10 +290,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_cosine_topk"] = ann_topk
 
+    # ---- fingerprints under the v2 (aggressive / AA-profile analog)
+    # normalization — the second config-selectable profile (T2)
+    def fingerprints_v2(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", F.md5(normalize_text("text", version=2)).alias("fingerprint_v2")
+        )
+
+    q["fingerprints_v2"] = fingerprints_v2
+
+    # ---- signature-stage window bookkeeping (T3/T4 segment accounting is
+    # SQL-expressible: n_windows == max(len - k + 1, 0))
+    def signature_window_counts(spark, sf_dir):
+        d = _normed(spark, sf_dir)
+        sigs = build_signatures(d, _params(), LshPlan.plan(128, THRESHOLD, 0.995), id_col="doc_id")
+        return sigs.select("doc_id", "n_windows")
+
+    q["signature_window_counts"] = signature_window_counts
+
+    # ---- HLL cached-cardinality accuracy gate (S4/S5 + A3/A5): the exact
+    # distinct-shingle count is SQL-expressible; the sketch estimate must
+    # sit within 10% of it on every document (p=12 => ~1.6% sigma, so the
+    # bound is ~6 sigma; the oracle emits the constant `true`)
+    def hll_cardinality_tolerance(spark, sf_dir):
+        d = _normed(spark, sf_dir).where(F.length("norm_text") >= K)
+        regs = add_register_sketch(
+            d.select("doc_id", "norm_text"),
+            SketchParams(shingle_k=K, algorithm="hll", precision=12, seed=42),
+            out_col="regs",
+        )
+        exact = F.expr(
+            f"size(array_distinct(transform(sequence(1, length(norm_text) - {K - 1}),"
+            f" i -> substring(norm_text, i, {K}))))"
+        )
+        return regs.select(
+            "doc_id",
+            exact.alias("n_exact"),
+            (F.abs(F.col("card_est") - exact) / exact <= 0.1).alias("within_tol"),
+        )
+
+    q["hll_cardinality_tolerance"] = hll_cardinality_tolerance
+
+    # ---- two-dataset query x reference pair mode (the reference's primary
+    # `dist` use case, main.rs:353-401): band cross-join + exact verify
+    def cross_dataset(spark, sf_dir):
+        from lash_spark.pipeline import cross_dataset_pairs
+
+        docs = _docs(spark, sf_dir)
+        dq = docs.filter(F.col("doc_id") % 7 == 3)
+        dr = docs.filter(F.col("doc_id") % 3 == 0)
+        return cross_dataset_pairs(
+            dq, dr, _params(), id_col="doc_id", text_col="text", threshold=THRESHOLD
+        ).select("doc_id_q", "doc_id_r", "jaccard")
+
+    q["cross_dataset_pairs"] = cross_dataset
+
     # ---- non-SQL-expressible (rows-only checks) --------------------------
+    # array columns are digested to scalars (md5 of the JSON form): the
+    # driver's canonicalizer factorizes each column and cannot hash lists
     def minhash_signatures(spark, sf_dir):
         d = _normed(spark, sf_dir)
-        return build_signatures(d, _params(), LshPlan.plan(128, THRESHOLD, 0.995), id_col="doc_id")
+        sigs = build_signatures(d, _params(), LshPlan.plan(128, THRESHOLD, 0.995), id_col="doc_id")
+        return sigs.select(
+            "doc_id",
+            "n_windows",
+            F.md5(F.to_json("minhash")).alias("sig_digest"),
+            F.md5(F.to_json("bands")).alias("bands_digest"),
+        )
 
     q["minhash_signatures"] = minhash_signatures
 
@@ -317,10 +380,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _normed(spark, sf_dir)
         return add_register_sketch(
             d.select("doc_id", "norm_text"), SketchParams(algorithm="hll"), out_col="regs"
-        ).select("doc_id", "regs")
+        ).select(
+            "doc_id",
+            F.md5(F.to_json("regs")).alias("regs_digest"),
+            F.round("card_est", 3).alias("card_est"),
+        )
 
     q["hll_register_sketches"] = hll_register_sketches
 
+    # ---- exact-substring pass (O5): pairs sharing a >=64-char substring.
+    # SQL-expressible: any shared substring of length >= L contains a shared
+    # length-L window, so the DuckDB window equi-join is an exact oracle.
     def substring_pairs(spark, sf_dir):
         return exact_substring_pairs(
             _normed(spark, sf_dir), min_len=64, k=32, id_col="doc_id"
@@ -328,9 +398,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["substring_dup_pairs"] = substring_pairs
 
+    # maximal common-substring length (rows-only: LCS length is not
+    # reasonably SQL-expressible; the pair SET is oracled above)
+    def substring_lens(spark, sf_dir):
+        from lash_spark.operators.substring import common_substring_lengths
+
+        d = _normed(spark, sf_dir)
+        pairs = exact_substring_pairs(d, min_len=64, k=32, id_col="doc_id")
+        return common_substring_lengths(pairs, d, min_len=64, id_col="doc_id")
+
+    q["substring_common_len"] = substring_lens
+
+    # ---- embedding near-dup pairs: the corpus is augmented with 50
+    # deterministic near-duplicate vectors (vec_id+100000, first coordinate
+    # shifted by +0.01 => cosine ~0.99995), built identically in the oracle,
+    # so the SRP banded candidate generator is tested against a NON-EMPTY
+    # truth set (round-1 version passed vacuously at threshold 0.95).
     def embedding_near_dups(spark, sf_dir):
-        return embedding_near_dup_pairs(
-            _emb(spark, sf_dir), dim=64, cosine_threshold=0.95, n_planes=8
+        emb = _emb(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        planted = emb.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.concat(
+                F.array(F.col("v")[0] + F.lit(0.01)), F.slice("v", 2, 63)
+            ).alias("v"),
+        )
+        allv = emb.unionByName(planted)
+        out = embedding_near_dup_pairs(
+            allv, dim=64, cosine_threshold=0.99, n_planes=12, n_tables=6, vec_col="v"
+        )
+        # cosine rounded to 3dp: the planted pairs sit at ~0.99995, far from
+        # any 3dp boundary, so engine/oracle FP summation order cannot flip it
+        return out.select(
+            "vec_id_a", "vec_id_b", F.round("cosine", 3).alias("cos_r")
         )
 
     q["embedding_near_dups"] = embedding_near_dups
@@ -532,19 +633,88 @@ ranked AS (
 SELECT query_id, item_id, rank, cos_r FROM ranked WHERE rank <= 5
 """
 
-    # SRP candidate generation is complete for cosine >= 0.95 on this data
-    # (no such pairs exist: max pairwise cosine ~0.51), so the brute-force
-    # SQL truth set equals the engine output (both computed, both empty).
+    o["fingerprints_v2"] = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint_v2
+FROM documents
+"""
+
+    o["signature_window_counts"] = f"""
+WITH normed AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+SELECT doc_id, greatest(len(t) - {K - 1}, 0) AS n_windows
+FROM normed WHERE len(t) >= 1
+"""
+
+    # exact distinct-shingle count is computable in SQL; the engine's HLL
+    # estimate must land within the tolerance on every row, so the oracle's
+    # within_tol is the constant true (a statistical accuracy gate)
+    o["hll_cardinality_tolerance"] = f"""
+WITH normed AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+sh AS (
+  SELECT doc_id, substr(t, i.i, {K}) AS s
+  FROM normed, LATERAL (SELECT unnest(generate_series(1, len(t) - {K - 1})) AS i) i
+  WHERE len(t) >= {K}
+)
+SELECT doc_id, count(DISTINCT s) AS n_exact, true AS within_tol
+FROM sh GROUP BY doc_id
+"""
+
+    o["cross_dataset_pairs"] = f"""
+WITH normed AS (
+  SELECT doc_id, {_NORM_SQL} AS t FROM documents
+  WHERE doc_id % 7 = 3 OR doc_id % 3 = 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, i.i, {K}) AS s
+  FROM normed, LATERAL (SELECT unnest(generate_series(1, len(t) - {K - 1})) AS i) i
+  WHERE len(t) >= {K}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS dq, b.doc_id AS dr, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id % 7 = 3 AND b.doc_id % 3 = 0
+  GROUP BY 1, 2
+)
+SELECT dq AS doc_id_q, dr AS doc_id_r,
+       c * 1.0 / (sa.n + sb.n - c) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = dq
+JOIN sizes sb ON sb.doc_id = dr
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {THRESHOLD}
+"""
+
+    o["substring_dup_pairs"] = f"""
+WITH normed AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+w AS (
+  SELECT DISTINCT doc_id, substr(t, i.i, 64) AS s
+  FROM normed, LATERAL (SELECT unnest(generate_series(1, len(t) - 63)) AS i) i
+  WHERE len(t) >= 64
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+    # the corpus + 50 planted near-dup vectors (same derivation as the
+    # engine side: vec_id+100000, v[0] += 0.01), brute-force cosine truth
     o["embedding_near_dups"] = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planted AS (
+  SELECT vec_id + 100000 AS vec_id, list_prepend(v[1] + 0.01, v[2:]) AS v
+  FROM base WHERE vec_id < 50
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+       round(list_cosine_similarity(a.v, b.v), 3) AS cos_r
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.99
 """
 
     # minhash_signatures / lsh_candidates / simhash_hamming_pairs /
-    # hll_register_sketches / substring_dup_pairs:
-    # non-SQL-expressible (register contents / LSH bucketing / winnowing) —
-    # intentionally omitted -> driver records rows-only checks; their
-    # semantics are covered by tests/ (unit + property + brute-force recall).
+    # hll_register_sketches / substring_common_len:
+    # non-SQL-expressible (register contents / LSH bucketing / maximal LCS
+    # length) — intentionally omitted -> driver records rows-only checks;
+    # their semantics are covered by tests/ (unit + property + brute-force
+    # recall) and, for the substring pass, by the oracled pair SET above.
     return o

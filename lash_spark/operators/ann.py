@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from lash_spark.operators.lsh import pairs_from_keys
 
@@ -66,22 +67,31 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def make_srp_udf(dim: int, n_planes: int, seed: int):
-    """Signed-random-projection bucket id: sign bits of V @ P packed into a
-    long. One Arrow pass; P is regenerated deterministically per worker."""
+def make_srp_udf(dim: int, n_planes: int, seed: int, n_tables: int = 1):
+    """Signed-random-projection bucket ids: sign bits of V @ P packed into a
+    long per hash table. One Arrow pass computes all ``n_tables``
+    independent projections (the banded-LSH analog for cosine: a near-dup
+    pair collides in at least one table w.p. 1-(1-p^planes)^tables, the
+    same S-curve as MinHash bands). P is regenerated deterministically per
+    worker. Returns long (n_tables == 1) or array<long>."""
 
-    @F.pandas_udf("long")
+    @F.pandas_udf(T.ArrayType(T.LongType()) if n_tables > 1 else T.LongType())
     def srp(vecs: pd.Series) -> pd.Series:
         rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, n_planes))
+        planes = rng.standard_normal((dim, n_tables * n_planes))
         m = np.zeros((len(vecs), dim), dtype=np.float64)
         for i, v in enumerate(vecs):
             if v is not None:
                 m[i, : len(v)] = np.asarray(v, dtype=np.float64)[:dim]
         bits = (m @ planes) >= 0
         weights = (1 << np.arange(n_planes, dtype=np.uint64)).astype(np.uint64)
-        packed = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1).astype(np.uint64)
-        return pd.Series(packed.view(np.int64))
+        packed = (
+            bits.reshape(len(vecs), n_tables, n_planes).astype(np.uint64)
+            * weights[None, None, :]
+        ).sum(axis=2).astype(np.uint64).view(np.int64)
+        if n_tables == 1:
+            return pd.Series(packed[:, 0])
+        return pd.Series(list(packed))
 
     return srp
 
@@ -122,19 +132,24 @@ def embedding_near_dup_pairs(
     vectors: DataFrame,
     dim: int,
     cosine_threshold: float = 0.95,
-    n_planes: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 6,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = 2000,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: SRP bucket candidates -> exact cosine
-    verify >= threshold. Same candidates->verify shape as text LSH."""
-    srp = make_srp_udf(dim, n_planes, seed)
+    """Embedding-cosine near-dup: banded SRP bucket candidates -> exact
+    cosine verify >= threshold. Same candidates->verify shape as text LSH;
+    ``n_tables`` independent hash tables give the multi-band recall curve
+    (miss probability (1-p^planes)^tables, p = 1 - theta/pi)."""
+    srp = make_srp_udf(dim, n_planes, seed, n_tables=n_tables)
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("key", srp(F.col("v")))
-    keyed = v.select(F.col(id_col), F.lit(0).alias("band_id"), "key")
+    ).withColumn("keys", srp(F.col("v")))
+    keyed = v.select(
+        F.col(id_col), F.posexplode("keys").alias("band_id", "key")
+    )
     pairs = pairs_from_keys(keyed, id_col=id_col, max_bucket=max_bucket)
     a, b = f"{id_col}_a", f"{id_col}_b"
     side = v.select(F.col(id_col), "v")
