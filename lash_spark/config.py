@@ -188,6 +188,6 @@ def mash_distance(jaccard: float, k: int, model: int = 1) -> float:
     frac = 2.0 * jaccard / (1.0 + jaccard)
     if model == 1:
         return min(-math.log(frac) / k, 1.0)
-    if model == 2:
+    if model in (0, 2):  # 0 = reference binomial numbering, 2 = legacy alias
         return 1.0 - frac ** (1.0 / k)
-    raise ValueError("distance model must be 1 or 2")
+    raise ValueError("distance model must be 0 (binomial), 1 (poisson), or 2")

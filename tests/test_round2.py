@@ -1,0 +1,231 @@
+"""Round-2 additions: sliding-min winnowing, MLE/FGRA estimators, Ertl ULL
+layout + exact merge, int32 minhash wire format, cross-dataset pair mode,
+resume stage invalidation, streaming idempotence, model-0 alias, banded SRP.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lash_spark.config import PipelineConfig, SketchParams
+from lash_spark.hashing import hash_with_seed, mix64
+from lash_spark.sketches import (
+    hll_cardinality,
+    hll_cardinality_batch,
+    hll_cardinality_mle,
+    hll_registers,
+    hll_registers_segments,
+    sig_to_reg32,
+    ull_cardinality,
+    ull_registers,
+    ull_registers_segments,
+    ull_union,
+)
+from lash_spark.operators.substring import sliding_min
+
+
+# ------------------------------------------------------------- sliding min
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=300),
+    st.integers(min_value=1, max_value=64),
+)
+def test_sliding_min_matches_naive(vals, w):
+    h = np.array(vals, dtype=np.uint64)
+    got = sliding_min(h, w)
+    if h.size <= w:
+        assert got.size == 1 and got[0] == h.min()
+        return
+    naive = np.array([h[i : i + w].min() for i in range(h.size - w + 1)], dtype=np.uint64)
+    assert np.array_equal(got, naive)
+
+
+# -------------------------------------------------------------- estimators
+
+def _hashes(n, seed=7):
+    return mix64(np.arange(1, n + 1, dtype=np.uint64) + np.uint64(seed * 1_000_003))
+
+
+@pytest.mark.parametrize("n", [50, 500, 5000, 60000])
+def test_hll_mle_tracks_truth(n):
+    regs = hll_registers(_hashes(n), p=10, seed=42)
+    est = hll_cardinality(regs, estimator="mle")
+    assert abs(est - n) / n < 0.12, (n, est)
+
+
+@pytest.mark.parametrize("n", [50, 500, 5000, 60000])
+@pytest.mark.parametrize("estimator", ["fgra", "mle", "rank"])
+def test_ull_estimators_track_truth(n, estimator):
+    regs = ull_registers(_hashes(n), p=10, seed=42)
+    est = ull_cardinality(regs, p=10, estimator=estimator)
+    assert abs(est - n) / n < 0.15, (n, estimator, est)
+
+
+def test_mle_empty_sketch_is_zero():
+    regs = np.zeros(1024, dtype=np.int32)
+    assert hll_cardinality_mle(regs) == 0.0
+    assert ull_cardinality(regs, p=10, estimator="mle") == 0.0
+
+
+def test_ull_union_is_sketch_of_union():
+    a, b = _hashes(3000, seed=1), _hashes(4000, seed=2)
+    ra = ull_registers(a, p=8, seed=42)
+    rb = ull_registers(b, p=8, seed=42)
+    ru = ull_registers(np.union1d(a, b), p=8, seed=42)
+    assert np.array_equal(ull_union(ra, rb), ru)
+    # commutative + idempotent
+    assert np.array_equal(ull_union(rb, ra), ru)
+    assert np.array_equal(ull_union(ru, ru), ru)
+
+
+def test_ull_extra_bits_populated():
+    regs = ull_registers(_hashes(20000), p=6, seed=42)
+    q = regs >> 2
+    assert (q > 0).all()
+    # dense sketch: most registers must have seen rank q-1 too
+    assert ((regs >> 1) & 1).mean() > 0.5
+
+
+def test_register_segments_match_per_doc_kernels():
+    hs = [_hashes(100, seed=3), np.empty(0, dtype=np.uint64), _hashes(777, seed=4)]
+    seg = np.array([0, 100, 100, 877], dtype=np.int64)
+    flat = np.concatenate(hs)
+    got = ull_registers_segments(flat, seg, 8, 42)
+    for i, h in enumerate(hs):
+        assert np.array_equal(got[i], ull_registers(h, 8, 42))
+    got_h = hll_registers_segments(flat, seg, 8, 42)
+    for i, h in enumerate(hs):
+        assert np.array_equal(got_h[i], hll_registers(h, 8, 42))
+
+
+def test_hll_cardinality_batch_matches_scalar():
+    regs = np.stack([hll_registers(_hashes(n), 8, 42) for n in (10, 300, 9000)])
+    batch = hll_cardinality_batch(regs)
+    for i, n in enumerate((10, 300, 9000)):
+        assert batch[i] == pytest.approx(hll_cardinality(regs[i]))
+
+
+# ------------------------------------------------------- int32 wire format
+
+def test_sig_to_reg32_preserves_order_and_equality():
+    x = np.array([0, 1, 2**32 - 1, 2**32, 2**63, 2**64 - 1, 12345678901234], dtype=np.uint64)
+    r = sig_to_reg32(x)
+    assert r.dtype == np.int32
+    # order-preserving on the high-32-bit quotient
+    hi = (x >> np.uint64(32)).astype(np.int64)
+    assert np.array_equal(np.argsort(r, kind="stable"), np.argsort(hi, kind="stable"))
+    # equality preserved exactly for equal inputs
+    assert sig_to_reg32(np.array([7, 7], dtype=np.uint64))[0] == sig_to_reg32(
+        np.array([7, 9], dtype=np.uint64)
+    )[0]
+
+
+# ------------------------------------------------------- model 0 / config
+
+def test_distance_model_zero_is_binomial():
+    from lash_spark.config import mash_distance
+
+    assert mash_distance(0.8, 16, model=0) == pytest.approx(mash_distance(0.8, 16, model=2))
+    SketchParams(distance_model=0)  # accepted (reference numbering)
+    with pytest.raises(ValueError):
+        SketchParams(distance_model=3)
+    with pytest.raises(ValueError):
+        SketchParams(estimator="bogus")
+
+
+# ----------------------------------------------------- cross-dataset mode
+
+def test_cross_dataset_pairs_vs_bruteforce(spark, tiny_pages):
+    from lash_spark.pipeline import cross_dataset_pairs
+    import pyspark.sql.functions as F
+
+    docs = tiny_pages.withColumn("nid", F.xxhash64("url"))
+    dq = docs.filter(F.pmod("nid", F.lit(4)) == 0)
+    dr = docs.filter(F.pmod("nid", F.lit(3)) == 0)
+    params = SketchParams(shingle_k=16, num_perm=128, seed=42)
+    got = {
+        (r.url_q, r.url_r)
+        for r in cross_dataset_pairs(
+            dq, dr, params, id_col="url", text_col="text", threshold=0.8
+        ).collect()
+    }
+    # brute-force truth: exact shingle jaccard over the two subsets
+    from lash_spark.hashing import batch_shingle_hashes
+    from lash_spark.operators.normalize import normalize_text
+
+    def sets(df):
+        rows = df.select("url", normalize_text("text").alias("t")).collect()
+        hs = batch_shingle_hashes([r.t.encode() for r in rows], 16)
+        return {r.url: h for r, h in zip(rows, hs)}
+
+    sq, sr = sets(dq), sets(dr)
+    truth = set()
+    for uq, hq in sq.items():
+        for ur, hr in sr.items():
+            if hq.size and hr.size:
+                inter = np.intersect1d(hq, hr).size
+                j = inter / (hq.size + hr.size - inter)
+                if j >= 0.8:
+                    truth.add((uq, ur))
+    assert got == truth
+    assert truth, "test corpus must contain cross-set pairs"
+
+
+def test_cross_dataset_param_mismatch_raises():
+    from lash_spark.pipeline import cross_dataset_pairs
+
+    with pytest.raises(ValueError, match="must match"):
+        cross_dataset_pairs(
+            None, None, SketchParams(shingle_k=16), SketchParams(shingle_k=8)
+        )
+
+
+# ------------------------------------------------- resume invalidation
+
+def test_grown_input_rebuilds_downstream_stages(spark, tmp_path):
+    from lash_spark.lakeio import ParquetCatalog
+    from lash_spark.pipeline import dedup_pipeline
+    from lash_spark.synth import generate_pages
+
+    cfg = PipelineConfig()
+    cat = ParquetCatalog(spark, str(tmp_path / "wd"))
+    docs1 = generate_pages(spark, 120, seed=42, partitions=2)
+    r1 = dedup_pipeline(docs1, cfg, id_col="url", text_col="text", catalog=cat)
+    n1 = r1.dup_pairs.count()
+    # grow the input: same first 120 docs + 80 more (deterministic synth)
+    docs2 = generate_pages(spark, 200, seed=42, partitions=2)
+    r2 = dedup_pipeline(docs2, cfg, id_col="url", text_col="text", catalog=cat)
+    # clean-run truth over the grown corpus
+    r_clean = dedup_pipeline(docs2, cfg, id_col="url", text_col="text")
+    got = {(r.url_a, r.url_b) for r in r2.dup_pairs.collect()}
+    want = {(r.url_a, r.url_b) for r in r_clean.dup_pairs.collect()}
+    assert got == want
+    assert len(want) > n1, "grown corpus must add pairs for the test to bite"
+
+
+# ------------------------------------------------- streaming idempotence
+
+def test_streaming_replay_does_not_duplicate(spark, tmp_path):
+    from lash_spark.lakeio import ParquetCatalog
+    from lash_spark.synth import generate_pages
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wd"))
+    params = SketchParams()
+    pages = generate_pages(spark, 50, seed=42, partitions=1)
+    from lash_spark.operators.normalize import with_normalized_text
+    from lash_spark.operators.signatures import build_signatures
+    from lash_spark.lakeio import resume_delta
+
+    # simulate the foreachBatch body twice with the same batch (a replay)
+    for _ in range(2):
+        normed = with_normalized_text(pages.select("url", "text"), "text")
+        existing = cat.read("signatures") if cat.exists("signatures") else None
+        delta = resume_delta(normed, existing, "url")
+        sigs = build_signatures(delta, params, id_col="url", min_parallelism=1)
+        cat.append(sigs, "signatures")
+    out = cat.read("signatures")
+    assert out.count() == out.select("url").distinct().count() == 50
