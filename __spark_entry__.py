@@ -331,6 +331,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hll_cardinality_tolerance"] = hll_cardinality_tolerance
 
+    # ---- IE-Jaccard over register sketches (U2/U3/U4 + S4/S5 cached
+    # cardinalities in pair math): union = zip_with max (pure Column), both
+    # side cardinalities come from the cached card_est column; the estimate
+    # must land within 0.1 of the exact shingle-set IE-Jaccard on every
+    # bounded pair (oracle emits the constant true + exact jaccard basis)
+    def ie_jaccard_sketch_tolerance(spark, sf_dir):
+        from lash_spark.estimators import hll_cardinality_expr, register_union_expr
+
+        p = 10
+        d = (
+            _normed(spark, sf_dir)
+            .filter((F.col("doc_id") < 60) & (F.length("norm_text") >= K))
+        )
+        sk = add_register_sketch(
+            d.select("doc_id", "norm_text"),
+            SketchParams(shingle_k=K, algorithm="hll", precision=p, seed=42),
+            out_col="regs",
+        ).select("doc_id", "regs", "card_est")
+        pairs = (
+            sk.alias("a")
+            .crossJoin(sk.alias("b"))
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"),
+                F.col("a.card_est").alias("ca"),
+                F.col("b.card_est").alias("cb"),
+                hll_cardinality_expr(
+                    register_union_expr("a.regs", "b.regs"), p
+                ).alias("cu"),
+            )
+        )
+        j_est = F.greatest(
+            F.lit(0.0), (F.col("ca") + F.col("cb") - F.col("cu")) / F.col("cu")
+        )
+        exact = F.expr(
+            f"size(array_distinct(transform(sequence(1, length(norm_text) - {K - 1}),"
+            f" i -> substring(norm_text, i, {K}))))"
+        ).cast("double")
+        ex = d.select("doc_id", exact.alias("n_sh"), F.col("norm_text"))
+        # exact pairwise IE basis via word-free shingle intersection is what
+        # the near-dup oracle already checks; here the gate is |est - exact|
+        # on the same pair grid, with the exact side from DuckDB
+        inter = F.size(
+            F.array_intersect(
+                F.expr(f"array_distinct(transform(sequence(1, length(ta) - {K - 1}), i -> substring(ta, i, {K})))"),
+                F.expr(f"array_distinct(transform(sequence(1, length(tb) - {K - 1}), i -> substring(tb, i, {K})))"),
+            )
+        ).cast("double")
+        withx = (
+            pairs.join(
+                ex.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"), F.col("norm_text").alias("ta")),
+                "doc_id_a",
+            )
+            .join(
+                ex.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"), F.col("norm_text").alias("tb")),
+                "doc_id_b",
+            )
+            .withColumn("j_exact", inter / (F.col("na") + F.col("nb") - inter))
+            .withColumn("within_tol", F.abs(j_est - F.col("j_exact")) <= 0.1)
+        )
+        return withx.select("doc_id_a", "doc_id_b", F.round("j_exact", 6).alias("j_exact"), "within_tol")
+
+    q["ie_jaccard_sketch_tolerance"] = ie_jaccard_sketch_tolerance
+
     # ---- two-dataset query x reference pair mode (the reference's primary
     # `dist` use case, main.rs:353-401): band cross-join + exact verify
     def cross_dataset(spark, sf_dir):
@@ -657,6 +722,31 @@ sh AS (
 )
 SELECT doc_id, count(DISTINCT s) AS n_exact, true AS within_tol
 FROM sh GROUP BY doc_id
+"""
+
+    o["ie_jaccard_sketch_tolerance"] = f"""
+WITH normed AS (
+  SELECT doc_id, {_NORM_SQL} AS t FROM documents
+  WHERE doc_id < 60 AND len({_NORM_SQL}) >= {K}
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, i.i, {K}) AS s
+  FROM normed, LATERAL (SELECT unnest(generate_series(1, len(t) - {K - 1})) AS i) i
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+grid AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.n AS na, b.n AS nb
+  FROM sizes a JOIN sizes b ON a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT g.doc_id_a, g.doc_id_b,
+       round(coalesce(i.c, 0) * 1.0 / (g.na + g.nb - coalesce(i.c, 0)), 6) AS j_exact,
+       true AS within_tol
+FROM grid g LEFT JOIN inter i ON i.da = g.doc_id_a AND i.db = g.doc_id_b
 """
 
     o["cross_dataset_pairs"] = f"""
