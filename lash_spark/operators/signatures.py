@@ -25,10 +25,7 @@ from lash_spark.sketches import (
     EMPTY_MIN,
     band_hashes,
     hll_cardinality_batch,
-    hll_registers_segments,
-    hmh_registers_segments,
     sig_to_reg32,
-    ull_registers_segments,
 )
 
 # minhash registers travel as int32 (order-preserving high-32-bit view,
@@ -117,28 +114,22 @@ def make_signature_udf(params: SketchParams, plan: LshPlan):
 
 def make_register_udf(params: SketchParams):
     """Scalar pandas UDF: text -> struct(regs: array<int>, card_est) for the
-    configured algorithm (hll | ull | hmh). One segment-scatter pass per
-    Arrow batch — no per-document Python dispatch (register inserts are
-    dedup-invariant bucket max, so the window multiset feeds them directly)."""
+    configured algorithm (hll | ull | hmh), dispatched through the Sketcher
+    protocol registry (SURVEY §3.3 — the engine analog of the KmerSketch
+    trait + `-a` selection). One segment-scatter pass per Arrow batch — no
+    per-document Python dispatch (register inserts are dedup-invariant
+    bucket max, so the window multiset feeds them directly)."""
     k, p, seed, alg = params.shingle_k, params.precision, params.seed, params.algorithm
-    kernel = {
-        "hll": hll_registers_segments,
-        "ull": ull_registers_segments,
-        "hmh": hmh_registers_segments,
-    }[alg]
 
     @F.pandas_udf(REGISTER_SCHEMA)
     def register_udf(texts: pd.Series) -> pd.DataFrame:
         from lash_spark.hashing import batch_window_hash_segments
+        from lash_spark.sketcher import get_sketcher
 
+        sk = get_sketcher(alg)
         h, seg = batch_window_hash_segments(_encode(texts), k)
-        regs = kernel(h, seg, p, seed)
-        if alg == "ull":  # cached estimate uses the rank field
-            card = hll_cardinality_batch((regs >> 2).astype(np.int32))
-        elif alg == "hmh":  # rank field lives above the 16 sub-hash bits
-            card = hll_cardinality_batch((regs >> 16).astype(np.int32))
-        else:
-            card = hll_cardinality_batch(regs)
+        regs = sk.registers_segments(h, seg, p, seed)
+        card = hll_cardinality_batch(sk.rank_view(regs))
         return pd.DataFrame({"regs": list(regs), "card_est": card})
 
     return register_udf

@@ -229,3 +229,20 @@ def test_streaming_replay_does_not_duplicate(spark, tmp_path):
         cat.append(sigs, "signatures")
     out = cat.read("signatures")
     assert out.count() == out.select("url").distinct().count() == 50
+
+
+# ------------------------------------------------------ sketcher protocol
+
+def test_sketcher_registry_dispatch():
+    from lash_spark.sketcher import get_sketcher
+
+    h = _hashes(5000)
+    seg = np.array([0, 5000], dtype=np.int64)
+    for name in ("hll", "ull", "hmh"):
+        sk = get_sketcher(name)
+        regs = sk.registers_segments(h, seg, 10, 42)[0]
+        assert np.array_equal(sk.union(regs, regs), regs)  # idempotent
+        est = sk.cardinality(regs, 10, "mle")
+        assert abs(est - 5000) / 5000 < 0.15, (name, est)
+    with pytest.raises(ValueError, match="unknown sketch"):
+        get_sketcher("nope")
