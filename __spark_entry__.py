@@ -410,6 +410,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cross_dataset_pairs"] = cross_dataset
 
+    # ---- IVF ANN (the inverted-file scale path): with n_probe == n_lists
+    # every cell is probed, so the result is exactly brute-force top-k —
+    # the oracle checks the whole KMeans-assign/probe/join plumbing
+    def ivf_topk_query(spark, sf_dir):
+        from lash_spark.operators.ann import ivf_topk
+
+        emb = _emb(spark, sf_dir)
+        return ivf_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 10),
+            k=5,
+            n_lists=8,
+            n_probe=8,
+            cosine_round=9,
+        ).select("query_id", "item_id", "rank", F.col("cosine").alias("cos_r"))
+
+    q["ivf_cosine_topk"] = ivf_topk_query
+
+    # ---- multimodal plumbing: binary payload -> mapInPandas byte-histogram
+    # features. Components are exact integer counts (normalize=False), so
+    # the DuckDB oracle reproduces them with zero FP risk.
+    def media_features(spark, sf_dir):
+        from lash_spark.operators.multimodal import extract_features
+
+        media = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.encode("text", "utf-8").alias("payload"),
+            F.lit("text/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        )
+        feats = extract_features(media, dim=16, normalize=False)
+        return feats.select(
+            F.col("media_id").cast("long").alias("doc_id"),
+            "n_bytes",
+            F.col("feature")[0].cast("long").alias("h0"),
+            F.col("feature")[7].cast("long").alias("h7"),
+            F.col("feature")[15].cast("long").alias("h15"),
+        )
+
+    q["media_features"] = media_features
+
     # ---- non-SQL-expressible (rows-only checks) --------------------------
     # array columns are digested to scalars (md5 of the JSON form): the
     # driver's canonicalizer factorizes each column and cannot hash lists
@@ -792,6 +836,39 @@ w AS (
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
 FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+"""
+
+    # IVF with n_probe == n_lists == exact brute force (same truth set and
+    # round-before-rank discipline as ann_cosine_topk)
+    o["ivf_cosine_topk"] = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, t.vec_id AS item_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) AS cos_r
+  FROM embeddings q JOIN embeddings t ON q.vec_id < 10 AND t.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT query_id, item_id, cos_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, item_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, item_id, rank, cos_r FROM ranked WHERE rank <= 5
+"""
+
+    # byte-histogram features over the UTF-8 payload; unicode(c) == byte on
+    # the ASCII corpus (documented corpus assumption, same as shingling)
+    o["media_features"] = """
+WITH chars AS (
+  SELECT doc_id, len(text) AS n_bytes, unicode(substr(text, i.i, 1)) % 16 AS b
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text))) AS i) i
+),
+hist AS (
+  SELECT doc_id, any_value(n_bytes) AS n_bytes,
+         count(*) FILTER (b = 0) AS h0,
+         count(*) FILTER (b = 7) AS h7,
+         count(*) FILTER (b = 15) AS h15
+  FROM chars GROUP BY doc_id
+)
+SELECT doc_id, n_bytes, h0, h7, h15 FROM hist
 """
 
     # the corpus + 50 planted near-dup vectors (same derivation as the

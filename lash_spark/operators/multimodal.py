@@ -48,18 +48,24 @@ def decode_image(payload: bytes) -> "np.ndarray":
     )
 
 
-def fake_feature(payload: bytes, dim: int = 16) -> np.ndarray:
-    """Deterministic fake 'embedding': byte-histogram projection. Stands in
-    for a real encoder so the distributed plumbing is testable end-to-end."""
+def fake_feature(payload: bytes, dim: int = 16, normalize: bool = True) -> np.ndarray:
+    """Deterministic fake 'embedding': byte-histogram projection (optionally
+    L2-normalized). Stands in for a real encoder so the distributed plumbing
+    is testable end-to-end — with normalize=False the components are exact
+    integer counts, which the DuckDB oracle reproduces byte-for-byte."""
     if not payload:
         return np.zeros(dim, dtype=np.float32)
     arr = np.frombuffer(payload, dtype=np.uint8)
     hist = np.bincount(arr % dim, minlength=dim).astype(np.float32)
+    if not normalize:
+        return hist
     n = np.linalg.norm(hist)
     return hist / n if n > 0 else hist
 
 
-def extract_features(media: DataFrame, dim: int = 16, use_fake: bool = True) -> DataFrame:
+def extract_features(
+    media: DataFrame, dim: int = 16, use_fake: bool = True, normalize: bool = True
+) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (Arrow batches).
     With use_fake=False this raises NotImplementedError inside the task —
     the documented behavior until real codecs are installed."""
@@ -71,7 +77,7 @@ def extract_features(media: DataFrame, dim: int = 16, use_fake: bool = True) -> 
                 data = bytes(payload) if payload is not None else b""
                 if not use_fake:
                     decode_image(data)
-                feats.append(fake_feature(data, dim).tolist())
+                feats.append(fake_feature(data, dim, normalize).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -246,3 +246,34 @@ def test_sketcher_registry_dispatch():
         assert abs(est - 5000) / 5000 < 0.15, (name, est)
     with pytest.raises(ValueError, match="unknown sketch"):
         get_sketcher("nope")
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+def test_ivf_topk_exact_when_probing_all(spark):
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((6, 16)) * 3
+    vecs = [
+        (i, (centers[i % 6] + rng.standard_normal(16) * 0.3).tolist())
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    from lash_spark.operators.ann import brute_force_topk, ivf_topk
+
+    q = df.filter(df.vec_id < 8)
+    truth = {
+        (r.query_id, r.rank): r.item_id for r in brute_force_topk(df, q, k=5).collect()
+    }
+    exact = {
+        (r.query_id, r.rank): r.item_id
+        for r in ivf_topk(df, q, k=5, n_lists=6, n_probe=6).collect()
+    }
+    assert exact == truth
+    # partial probe: high recall on clustered data (neighbors share cells)
+    approx = {
+        (r.query_id, r.item_id)
+        for r in ivf_topk(df, q, k=5, n_lists=6, n_probe=2).collect()
+    }
+    truth_pairs = set((k[0], v) for k, v in truth.items())
+    recall = len(approx & truth_pairs) / len(truth_pairs)
+    assert recall >= 0.8, recall
