@@ -107,7 +107,17 @@ def run_default():
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
-    spark = get_spark(app_name="lash_bench", master=f"local[{cpus}]")
+    # this sandbox has ~8-12 cores' worth of memory bandwidth behind 32
+    # logical cores; >16 concurrent Arrow workers thrash it (see
+    # BENCH/BASELINE.md profiling table: task.cpus=2 recovers local[32]
+    # from 184 to 685 docs/s). On a real cluster leave task.cpus at 1.
+    extra = {"spark.task.cpus": "2"} if cpus >= 16 else {}
+    spark = get_spark(
+        app_name="lash_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=256,
+        extra_conf=extra,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = _build_queries(sf_dir)
     timings: dict[str, float] = {}
