@@ -410,6 +410,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cross_dataset_pairs"] = cross_dataset
 
+    # ---- C4-style quality filter flags (pre-dedup hygiene pass)
+    def quality_filter_flags(spark, sf_dir):
+        from lash_spark.operators.textstats import quality_flags
+
+        flags = quality_flags("text")
+        keep = F.lit(True)
+        for c in flags.values():
+            keep = keep & ~c
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            flags["too_short"].alias("too_short"),
+            flags["odd_word_len"].alias("odd_word_len"),
+            flags["low_alpha"].alias("low_alpha"),
+            flags["no_stopwords"].alias("no_stopwords"),
+            keep.alias("keep"),
+        )
+
+    q["quality_filter_flags"] = quality_filter_flags
+
     # ---- IVF ANN (the inverted-file scale path): with n_probe == n_lists
     # every cell is probed, so the result is exactly brute-force top-k —
     # the oracle checks the whole KMeans-assign/probe/join plumbing
@@ -836,6 +855,25 @@ w AS (
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
 FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+"""
+
+    o["quality_filter_flags"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::DOUBLE AS n_words,
+         len(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')) AS avg_wl,
+         len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / len(text) AS alpha,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_IN}))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       n_words < 10 AS too_short,
+       (avg_wl < 2.0 OR avg_wl > 12.0) AS odd_word_len,
+       alpha < 0.6 AS low_alpha,
+       stop_hits = 0 AS no_stopwords,
+       NOT (n_words < 10 OR avg_wl < 2.0 OR avg_wl > 12.0 OR alpha < 0.6 OR stop_hits = 0)
+         AS keep
+FROM s
 """
 
     # IVF with n_probe == n_lists == exact brute force (same truth set and

@@ -63,6 +63,43 @@ def quality_score(text_col: str = "text") -> Column:
     return (0.4 * len_score + 0.3 * stop_score + 0.3 * diversity).alias("quality")
 
 
+def quality_flags(text_col: str = "text") -> "dict[str, Column]":
+    """C4-style boolean quality rules (Raffel et al. 2020 §2.2 family),
+    each a pure Column expression so the 100 TB filter pass is one codegen
+    stage over the scan:
+
+    - ``too_short``: fewer than 10 whitespace words;
+    - ``odd_word_len``: mean word length outside [2, 12] (gibberish /
+      non-linguistic content);
+    - ``low_alpha``: less than 60% alphabetic characters (markup, tables,
+      encoded blobs);
+    - ``no_stopwords``: no common-function-word hits at all (a strong
+      non-prose signal at this lexicon size).
+    """
+    w = _words(text_col)
+    t = F.col(text_col)
+    n_words = F.size(w).cast("double")
+    avg_wl = F.length(F.regexp_replace(t, " ", "")).cast("double") / n_words
+    alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", "")).cast("double") / F.length(t)
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    return {
+        "too_short": n_words < 10,
+        "odd_word_len": (avg_wl < 2.0) | (avg_wl > 12.0),
+        "low_alpha": alpha < 0.6,
+        "no_stopwords": stop_hits == 0,
+    }
+
+
+def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep only documents passing every quality rule — the pre-dedup
+    hygiene pass of a training-data pipeline."""
+    flags = quality_flags(text_col)
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & ~c
+    return df.filter(keep)
+
+
 def token_count(text_col: str = "text", pattern: str = r"[a-z0-9]+") -> Column:
     """Regex token count (BPE-ish lowercase alnum runs) — JVM regexp, no UDF."""
     return F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), 0))

@@ -80,3 +80,56 @@ def read_pages_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
+
+
+def stream_exact_dedup(
+    pages_stream: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    key_buckets: int = 64,
+):
+    """Custom stateful streaming operator (applyInPandasWithState): exact
+    content dedup over an unbounded page stream — only the FIRST document
+    with each normalized-content fingerprint is emitted; later arrivals
+    (within and across micro-batches) are dropped.
+
+    State layout: streams are hash-partitioned into ``key_buckets`` groups
+    by fingerprint, and each group's state is the array of fingerprints
+    seen so far. Keying by fp-bucket (not by fp) keeps the state-store row
+    count bounded by key_buckets instead of corpus size; within a bucket
+    membership is a vectorized pandas isin. At real scale the per-bucket
+    array would be a Bloom/compact-binary state — the operator shape
+    (groupBy bucket -> applyInPandasWithState, append mode) is the one
+    that matters. The reference has no streaming at all (SURVEY §2.8);
+    this is the north-rule extension for continuous crawl ingest.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from lash_spark.operators.normalize import normalize_text
+
+    fp = F.md5(normalize_text(text_col))
+    keyed = pages_stream.select(
+        F.col(id_col).cast("string").alias("id"),
+        fp.alias("fp"),
+        F.pmod(F.xxhash64(fp), F.lit(key_buckets)).cast("int").alias("bucket"),
+    )
+
+    out_schema = "id string, fp string"
+    state_schema = "seen array<string>"
+
+    def dedup_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            fresh = pdf[~pdf["fp"].isin(seen) & ~pdf["fp"].duplicated(keep="first")]
+            seen.update(fresh["fp"])
+            if len(fresh):
+                yield fresh[["id", "fp"]]
+        state.update((sorted(seen),))
+
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        dedup_fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

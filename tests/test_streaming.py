@@ -35,3 +35,43 @@ def test_stream_signatures_matches_batch(spark, tmp_path):
     assert got.count() == pages.count()
     assert got.exceptAll(batch).isEmpty() and batch.exceptAll(got).isEmpty()
     assert cat.properties("signatures")["params_hash"] == params.params_hash()
+
+
+def test_stream_exact_dedup_stateful(spark, tmp_path):
+    """First-seen wins across micro-batches; replays within the stream are
+    suppressed by the state store."""
+    from pyspark.sql import functions as F
+
+    from lash_spark.streaming import stream_exact_dedup
+
+    pages = generate_pages(spark, 150, seed=42, partitions=2).withColumn(
+        "n", F.regexp_extract("url", r"/p/(\d+)", 1).cast("int")
+    )
+    src = str(tmp_path / "src")
+    # drop 1 and drop 2 overlap: docs 0-99 then 50-149 (50 exact replays),
+    # plus whatever exact dups the synth corpus plants internally
+    pages.filter("n < 100").drop("n").write.parquet(f"{src}/d0")
+    pages.filter("n >= 50").drop("n").write.parquet(f"{src}/d1")
+    schema = pages.drop("n").schema
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    )
+    out = stream_exact_dedup(stream)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    n_distinct_fp = (
+        pages.select(F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))))
+        .distinct()
+        .count()
+    )
+    assert got.count() == got.select("fp").distinct().count() == n_distinct_fp
