@@ -277,3 +277,64 @@ def test_ivf_topk_exact_when_probing_all(spark):
     truth_pairs = set((k[0], v) for k, v in truth.items())
     recall = len(approx & truth_pairs) / len(truth_pairs)
     assert recall >= 0.8, recall
+
+
+# ---------------------------------------------------- plan-shape guards
+
+def _plan(df, mode="formatted"):
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_plan_shapes_hold(spark, tmp_path, tiny_pages):
+    """The plan properties the 100TB design depends on (see
+    tools/plan_audit.py for the full audit over real testdata)."""
+    import re
+
+    from lash_spark.config import LshPlan, SketchParams
+    from lash_spark.operators.lsh import lsh_candidate_pairs
+    from lash_spark.operators.normalize import with_normalized_text
+    from lash_spark.operators.signatures import build_signatures
+    from lash_spark.operators.verify import verify_pairs
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "docs")
+    tiny_pages.select("url", "text", "lang").write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    # column pruning: signature build over (url, text, lang) reads 2 cols
+    params = SketchParams()
+    sigs = build_signatures(
+        with_normalized_text(docs, "text"), params, LshPlan.plan(128, 0.8, 0.995)
+    )
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", _plan(sigs))
+    assert scans and all("lang" not in s for s in scans), scans
+
+    # predicate pushdown reaches the scan
+    p = _plan(docs.filter(F.col("lang") == "en").select("url"))
+    assert "PushedFilters: [" in p and "EqualTo(lang,en)" in p, p
+
+    # the dedup path plans no cartesian product / nested-loop join
+    sp = sigs.persist()
+    ver = verify_pairs(
+        lsh_candidate_pairs(sp), with_normalized_text(docs, "text"), params,
+        sig_df=sp, with_distances=False,
+    )
+    p2 = _plan(ver)
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2
+    sp.unpersist()
+
+
+# ---------------------------------------------------- CLI strict discovery
+
+def test_load_sketch_params_strict(tmp_path):
+    from lash_spark.cli import load_sketch_params
+
+    with pytest.raises(SystemExit, match="no parameters file"):
+        load_sketch_params(str(tmp_path / "sigs"))
+    (tmp_path / "sigs_parameters.json").write_text(
+        SketchParams(shingle_k=12).to_json()
+    )
+    assert load_sketch_params(str(tmp_path / "sigs")).shingle_k == 12
