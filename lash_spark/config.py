@@ -71,10 +71,16 @@ class SketchParams:
         return 1 << self.precision
 
     def params_hash(self) -> str:
-        """Stable content hash pinning the run config (incl. normalization)."""
+        """Stable content hash pinning the sketch-defining config (incl.
+        normalization). ``estimator`` is deliberately EXCLUDED: like the
+        reference's ``-e`` (a dist-time flag, main.rs:143-151), it changes
+        how sketches are read, not what was written — switching estimators
+        must not invalidate signature tables or resume markers."""
         import hashlib
 
-        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        d = asdict(self)
+        d.pop("estimator", None)
+        blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 
     def to_json(self) -> str:

@@ -338,3 +338,12 @@ def test_load_sketch_params_strict(tmp_path):
         SketchParams(shingle_k=12).to_json()
     )
     assert load_sketch_params(str(tmp_path / "sigs")).shingle_k == 12
+
+
+def test_estimator_choice_does_not_invalidate_sketches():
+    """-e is a read-time flag (main.rs:143-151): changing it must not change
+    params_hash (which gates sketch-table rebuild + stage resume)."""
+    a = SketchParams(estimator="default")
+    b = SketchParams(estimator="mle")
+    assert a.params_hash() == b.params_hash()
+    assert SketchParams(shingle_k=12).params_hash() != a.params_hash()
