@@ -526,6 +526,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["substring_dup_pairs"] = substring_pairs
 
+    # same truth set via the distributed suffix-array pass (prefix-doubling
+    # ranks at depth 64; byte-exact, no hashes) — the north_star's named
+    # second engine for exact substring duplication
+    def substring_pairs_sa_q(spark, sf_dir):
+        from lash_spark.operators.suffixarray import substring_pairs_sa
+
+        return substring_pairs_sa(_normed(spark, sf_dir), min_len=64, id_col="doc_id")
+
+    q["substring_dup_pairs_sa"] = substring_pairs_sa_q
+
     # maximal common-substring length (rows-only: LCS length is not
     # reasonably SQL-expressible; the pair SET is oracled above)
     def substring_lens(spark, sf_dir):
@@ -856,6 +866,10 @@ SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
 FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
+
+    # identical truth set; the SA engine is byte-exact so this parity is
+    # unconditional (no hash-collision caveat)
+    o["substring_dup_pairs_sa"] = o["substring_dup_pairs"]
 
     o["quality_filter_flags"] = f"""
 WITH s AS (

@@ -1,0 +1,131 @@
+"""Distributed suffix-array pass (north_star: "a distributed suffix-array
+pass for exact substring duplication").
+
+Builds depth-truncated suffix ranks over the corpus with **prefix doubling**
+(Manber–Myers) expressed as DataFrame ops: ceil(log2 depth) rounds, each a
+self-join on (doc, pos+step) plus a dense re-ranking of the (rank, rank2)
+pairs. After the final round, two positions have equal rank iff their
+suffixes agree on the first ``depth`` bytes — so for depth = L, rank
+equality is EXACT length-L window equality (byte-level, no hash collisions),
+and `substring_pairs_sa` turns the rank groups into doc pairs through the
+same skew-tiered pair generator the LSH path uses.
+
+Scale notes: this pass explodes one row per byte position, so like the
+reference-class suffix-array dedup (Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better") it is the *bounded* second
+pass — run it corpus-wide at small scale or restricted to candidate
+documents (`candidates=`) at web scale. The winnowing engine
+(operators/substring.py) is the probabilistic-candidate production path;
+this one is its exact, hash-free twin plus a true lexicographic suffix
+order for maximal-repeat analyses. Dense ranking of distinct keys uses a
+distributed range-partitioned sort + zipWithIndex (per-partition counts +
+offsets — no single-partition window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lash_spark.operators.lsh import pairs_from_keys
+
+
+def _dense_ranks(keys: DataFrame, cols: "list[str]", out: str = "nr") -> DataFrame:
+    """Order-preserving dense ranks for the distinct rows of ``keys``:
+    distributed sort (range partitioner) + zipWithIndex (per-partition
+    counts, then offsets) — the scalable alternative to a global Window."""
+    distinct = keys.select(*cols).distinct().sort(*cols)
+    schema = distinct.schema
+    indexed = distinct.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+    spark = keys.sparkSession
+    out_schema = schema.add(out, "long", False)
+    return spark.createDataFrame(indexed, out_schema)
+
+
+def suffix_ranks(
+    docs: DataFrame,
+    depth: int,
+    id_col: str = "url",
+    text_col: str = "norm_text",
+) -> DataFrame:
+    """(id, pos, sa_rank) for every byte position: sa_rank is the dense
+    lexicographic rank of the suffix truncated to ``depth`` bytes
+    (corpus-global). pos is 1-based. Positions with fewer than ``depth``
+    bytes remaining compare with an end sentinel (-1) that sorts low,
+    matching ordinary suffix order for the truncated view."""
+    d = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    # initial rank = 4 bytes packed base-257 (byte+1; 0 = past-the-end
+    # sentinel, so shorter suffixes sort first) — order-preserving, exact,
+    # and saves two doubling rounds vs single-byte init
+    init = min(4, depth)
+    weights = [257 ** (init - 1 - j) for j in range(init)]
+    terms = " + ".join(
+        f"coalesce(element_at(_bp, i + {j}), 0) * {w}" for j, w in enumerate(weights)
+    )
+    chars = (
+        d.withColumn(
+            "_bp",
+            F.expr(
+                "concat(transform(sequence(1, length(_t)),"
+                " i -> ascii(substring(_t, i, 1)) + 1),"
+                f" array_repeat(0, {init}))"
+            ),
+        )
+        .select(
+            "_id",
+            F.posexplode(
+                F.expr(f"transform(sequence(1, length(_t)), i -> {terms})")
+            ).alias("_p0", "r"),
+        )
+        .select("_id", (F.col("_p0") + 1).alias("pos"), F.col("r").cast("long").alias("r"))
+    )
+
+    r = chars
+    k = init
+    if k >= depth:  # no doubling rounds: densify the packed init ranks
+        ranks = _dense_ranks(r, ["r"])
+        r = r.join(ranks, ["r"]).select("_id", "pos", F.col("nr").alias("r"))
+    while k < depth:
+        step = min(k, depth - k)
+        shifted = r.select(
+            "_id", (F.col("pos") - step).alias("pos"), F.col("r").alias("r2")
+        )
+        joined = r.join(shifted, ["_id", "pos"], "left").fillna({"r2": -1})
+        ranks = _dense_ranks(joined, ["r", "r2"])
+        r = joined.join(ranks, ["r", "r2"]).select(
+            "_id", "pos", F.col("nr").alias("r")
+        )
+        k += step
+        # localCheckpoint per round: truncates the growing join lineage the
+        # same way the union-find loop does (O(log depth) rounds total)
+        r = r.localCheckpoint(eager=False)
+    return r.select(F.col("_id").alias(id_col), "pos", F.col("r").alias("sa_rank"))
+
+
+def substring_pairs_sa(
+    docs: DataFrame,
+    min_len: int = 64,
+    id_col: str = "url",
+    text_col: str = "norm_text",
+    max_bucket: int = 2000,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact (id_a, id_b) pairs sharing a byte-identical substring of
+    length >= min_len, via suffix ranks at depth = min_len: positions with
+    equal rank share their first min_len bytes exactly, so distinct doc
+    pairs within a rank group ARE the answer — no hashes, no verification
+    step. Rank groups feed the skew-tiered pair generator (a giant repeated
+    substring is precisely the hot-bucket case)."""
+    d = docs.select(F.col(id_col), F.col(text_col))
+    if candidates is not None:
+        d = d.join(candidates.select(id_col).distinct(), id_col, "left_semi")
+    ranks = suffix_ranks(d, min_len, id_col=id_col, text_col=text_col)
+    # only positions with a full min_len window participate
+    lens = d.select(F.col(id_col), F.length(text_col).alias("_len"))
+    full = ranks.join(lens, id_col).filter(
+        F.col("pos") <= F.col("_len") - min_len + 1
+    )
+    keyed = full.select(
+        F.col(id_col), F.lit(0).alias("band_id"), F.col("sa_rank").alias("key")
+    ).distinct()
+    return pairs_from_keys(keyed, id_col=id_col, max_bucket=max_bucket)

@@ -347,3 +347,42 @@ def test_estimator_choice_does_not_invalidate_sketches():
     b = SketchParams(estimator="mle")
     assert a.params_hash() == b.params_hash()
     assert SketchParams(shingle_k=12).params_hash() != a.params_hash()
+
+
+# -------------------------------------------------- distributed suffix array
+
+def test_suffix_ranks_match_python_sort(spark):
+    from lash_spark.operators.suffixarray import suffix_ranks
+
+    rows = [(1, "banana"), (2, "bandana"), (3, "aa")]
+    df = spark.createDataFrame(rows, "url bigint, norm_text string")
+    depth = 4
+    got = {(r.url, r.pos): r.sa_rank for r in suffix_ranks(df, depth, id_col="url").collect()}
+    # python truth: dense rank of depth-truncated suffixes, corpus-global
+    sufs = {}
+    for uid, t in rows:
+        for p in range(1, len(t) + 1):
+            sufs[(uid, p)] = t[p - 1 : p - 1 + depth]
+    order = {s: i for i, s in enumerate(sorted(set(sufs.values())))}
+    want = {k: order[v] for k, v in sufs.items()}
+    assert got == want
+
+
+def test_substring_pairs_sa_matches_winnowing_engine(spark):
+    from lash_spark.operators.substring import exact_substring_pairs
+    from lash_spark.operators.suffixarray import substring_pairs_sa
+
+    block = "q".join(str(i) for i in range(60))  # ~200 chars shared block
+    rows = [
+        (1, "alpha intro " + block + " alpha outro"),
+        (2, "totally different " + block + " ending here"),
+        (3, "unrelated text " + "z" * 300),
+        (4, "another " + block[:40] + " short-overlap only"),
+    ]
+    df = spark.createDataFrame(rows, "url bigint, norm_text string")
+    sa = {(r.url_a, r.url_b) for r in substring_pairs_sa(df, min_len=64, id_col="url").collect()}
+    win = {
+        (r.url_a, r.url_b)
+        for r in exact_substring_pairs(df, min_len=64, k=32, id_col="url").collect()
+    }
+    assert sa == win == {(1, 2)}
