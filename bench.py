@@ -90,6 +90,31 @@ def _build_queries(sf_dir: str):
         res = dedup_pipeline(pages, PipelineConfig(), id_col="url", text_col="text")
         return res.dup_pairs.count()
 
+    def q_cross_dataset(spark):
+        from lash_spark.pipeline import cross_dataset_pairs
+
+        d = docs(spark)
+        return cross_dataset_pairs(
+            d.filter(F.col("doc_id") % 7 == 3),
+            d.filter(F.col("doc_id") % 3 == 0),
+            params,
+            id_col="doc_id",
+            text_col="text",
+        ).count()
+
+    def q_quality_filter(spark):
+        from lash_spark.operators.textstats import quality_filter
+
+        return quality_filter(docs(spark), "text").count()
+
+    def q_ivf_topk(spark):
+        from lash_spark.operators.ann import ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 20), k=10, n_lists=16, n_probe=4
+        ).count()
+
     return [
         ("signatures", q_signatures),
         ("near_dup_pairs", q_near_dup_pairs),
@@ -98,6 +123,9 @@ def _build_queries(sf_dir: str):
         ("text_stats", q_text_stats),
         ("ann_topk", q_ann_topk),
         ("substring_pass", q_substring),
+        ("cross_dataset_pairs", q_cross_dataset),
+        ("quality_filter", q_quality_filter),
+        ("ivf_topk", q_ivf_topk),
         ("synth_pipeline_50k", q_synth_pipeline_50k),
     ]
 
