@@ -131,7 +131,8 @@ def main(argv=None):
 
         params = _params(args)
         docs = with_normalized_text(
-            spark.read.parquet(args.input), args.text_col
+            spark.read.parquet(args.input), args.text_col,
+            version=params.normalize_version,
         )
         plan = LshPlan.plan(params.num_perm, args.threshold, 0.995)
         sigs = build_signatures(docs, params, plan, id_col=args.id_col)
@@ -151,7 +152,10 @@ def main(argv=None):
         # strict: a missing sidecar is a hard error (S7, main.rs:284-337)
         params.validate_compatible(load_sketch_params(args.signatures))
         sigs = spark.read.parquet(args.signatures)
-        docs = with_normalized_text(spark.read.parquet(args.docs), args.text_col)
+        docs = with_normalized_text(
+            spark.read.parquet(args.docs), args.text_col,
+            version=params.normalize_version,
+        )
         cands = lsh_candidate_pairs(sigs, id_col=args.id_col)
         verified = verify_pairs(
             cands, docs, params, id_col=args.id_col, threshold=args.threshold, sig_df=sigs

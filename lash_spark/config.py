@@ -13,6 +13,11 @@ import math
 from dataclasses import asdict, dataclass, field
 
 ALGORITHMS = ("minhash", "hll", "ull", "hmh", "simhash")
+# On-disk signature layout version, folded into params_hash so a wire-format
+# change (e.g. round 2's array<long> -> int32 minhash registers) invalidates
+# existing signature tables / resume markers instead of silently mixing
+# incompatible register encodings in one table.
+SIGNATURE_FORMAT = 2
 # Reference numbering (main.rs:415-423): 0 = binomial, 1 = poisson
 # (reference default). 2 is kept as a legacy alias of binomial so existing
 # engine configs don't renumber.
@@ -80,6 +85,7 @@ class SketchParams:
 
         d = asdict(self)
         d.pop("estimator", None)
+        d["signature_format"] = SIGNATURE_FORMAT
         blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 
@@ -107,6 +113,18 @@ class SketchParams:
             raise ValueError(
                 f"precision of query and reference must match: "
                 f"{self.precision} != {other.precision}"
+            )
+        if self.algorithm == "minhash" and (
+            self.num_perm != other.num_perm or self.minhash_mode != other.minhash_mode
+        ):
+            # minhash's "precision" is the signature length + construction
+            # mode: band hashes and register equality are meaningless across
+            # different (num_perm, mode) — the same class of mismatch the
+            # reference panics on for register precision
+            raise ValueError(
+                f"minhash signature config of query and reference must match: "
+                f"num_perm {self.num_perm} != {other.num_perm} "
+                f"or mode {self.minhash_mode} != {other.minhash_mode}"
             )
         if self.seed != other.seed:
             raise ValueError(f"seed mismatch: {self.seed} != {other.seed}")

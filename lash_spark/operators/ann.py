@@ -188,11 +188,19 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
+
+    def _unit(col):
+        # L2-normalize so KMeans cells + centroid L2 probing are consistent
+        # with the cosine ranking metric (on the unit sphere, L2 distance is
+        # monotone in cosine); ranking still uses the original vectors.
+        n = norm_expr(col)
+        return F.when(n > 0, F.transform(col, lambda x: x / n)).otherwise(col)
+
     c = corpus.select(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
-    train = c.withColumn("features", array_to_vector("cv"))
+    ).withColumn("cu", _unit(F.col("cv")))
+    train = c.withColumn("features", array_to_vector("cu"))
     model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
     assigned = model.transform(train).select(
         "item_id", "cv", F.col("prediction").alias("cell")
@@ -205,10 +213,10 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qu", _unit(F.col("qv")))
     l2 = F.sqrt(
         F.aggregate(
-            F.zip_with("qv", "centroid", lambda x, y: (x - y) * (x - y)),
+            F.zip_with("qu", "centroid", lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )

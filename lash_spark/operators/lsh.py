@@ -155,44 +155,67 @@ def cross_pairs_from_keys(
     is ordered by role, not by id; J2 applies only in the same-files case,
     which callers handle by routing to pairs_from_keys instead).
 
-    Skew: per-bucket pair volume is |Q_bucket|·|R_bucket|. Buckets whose
-    *reference* side exceeds ``max_bucket`` are salted — the hot reference
-    rows get a random salt and each query row is replicated to all
-    ``salt_buckets`` salts, splitting one hot reducer into S balanced ones
-    while still emitting every (q, r) pair exactly once."""
+    Skew: per-bucket pair volume is |Q_bucket|·|R_bucket|, and EITHER side
+    can be the hot one (a boilerplate family in the query set is as real as
+    one in the reference set). Buckets are handled symmetrically:
+
+    - both sides <= max_bucket: plain equi-join;
+    - reference side hot: salt the reference rows, replicate the query
+      rows to all ``salt_buckets`` salts;
+    - query side hot (reference cold): the mirror image.
+
+    A bucket hot on BOTH sides routes through the reference-hot tier (the
+    query replication there spreads it across the reference salts), so
+    every (q, r) pair is emitted exactly once before the final dedup."""
     idq, idr = f"{id_col}_q", f"{id_col}_r"
     spark = keyed_q.sparkSession
 
     r_census = keyed_r.groupBy("band_id", "key").agg(F.count(id_col).alias("r_n"))
+    q_census = keyed_q.groupBy("band_id", "key").agg(F.count(id_col).alias("q_n"))
     rk = keyed_r.join(r_census, ["band_id", "key"])
+    qk = keyed_q.join(q_census, ["band_id", "key"])
+    salts = spark.range(salt_buckets).select(F.col("id").cast("int").alias("salt"))
 
-    # cold buckets: plain equi-join
+    def _salt(df):
+        return df.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)).cast("int")
+        )
+
     r_cold = rk.filter(F.col("r_n") <= max_bucket).select("band_id", "key", id_col)
+    r_hot = rk.filter(F.col("r_n") > max_bucket).select("band_id", "key", id_col)
+    q_cold = qk.filter(F.col("q_n") <= max_bucket).select("band_id", "key", id_col)
+    q_hot = qk.filter(F.col("q_n") > max_bucket).select("band_id", "key", id_col)
+
+    # tier 1: cold x cold — plain equi-join
     p1 = (
-        keyed_q.alias("q")
+        q_cold.alias("q")
         .join(r_cold.alias("r"), ["band_id", "key"])
         .select(F.col(f"q.{id_col}").alias(idq), F.col(f"r.{id_col}").alias(idr))
     )
 
-    # hot buckets: salt the reference side, replicate the query side
-    r_hot = (
-        rk.filter(F.col("r_n") > max_bucket)
-        .select("band_id", "key", id_col)
-        .withColumn("salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)).cast("int"))
-    )
-    salts = spark.range(salt_buckets).select(F.col("id").cast("int").alias("salt"))
-    hot_keys = r_hot.select("band_id", "key").distinct()
-    q_rep = (
-        keyed_q.join(hot_keys, ["band_id", "key"], "left_semi")
-        .crossJoin(F.broadcast(salts))
+    # tier 2: reference hot — salt r, replicate every matching q row
+    hot_r_keys = r_hot.select("band_id", "key").distinct()
+    q_rep = keyed_q.join(hot_r_keys, ["band_id", "key"], "left_semi").crossJoin(
+        F.broadcast(salts)
     )
     p2 = (
         q_rep.alias("q")
-        .join(r_hot.alias("r"), ["band_id", "key", "salt"])
+        .join(_salt(r_hot).alias("r"), ["band_id", "key", "salt"])
         .select(F.col(f"q.{id_col}").alias(idq), F.col(f"r.{id_col}").alias(idr))
     )
 
-    out = p1.unionByName(p2).dropDuplicates([idq, idr])
+    # tier 3: query hot, reference cold — salt q, replicate the cold r rows
+    hot_q_keys = q_hot.select("band_id", "key").distinct()
+    r_rep = r_cold.join(hot_q_keys, ["band_id", "key"], "left_semi").crossJoin(
+        F.broadcast(salts)
+    )
+    p3 = (
+        _salt(q_hot).alias("q")
+        .join(r_rep.alias("r"), ["band_id", "key", "salt"])
+        .select(F.col(f"q.{id_col}").alias(idq), F.col(f"r.{id_col}").alias(idr))
+    )
+
+    out = p1.unionByName(p2).unionByName(p3).dropDuplicates([idq, idr])
     return out.localCheckpoint(eager=True)
 
 

@@ -120,6 +120,7 @@ def make_register_udf(params: SketchParams):
     per-document Python dispatch (register inserts are dedup-invariant
     bucket max, so the window multiset feeds them directly)."""
     k, p, seed, alg = params.shingle_k, params.precision, params.seed, params.algorithm
+    estimator = params.estimator
 
     @F.pandas_udf(REGISTER_SCHEMA)
     def register_udf(texts: pd.Series) -> pd.DataFrame:
@@ -129,7 +130,13 @@ def make_register_udf(params: SketchParams):
         sk = get_sketcher(alg)
         h, seg = batch_window_hash_segments(_encode(texts), k)
         regs = sk.registers_segments(h, seg, p, seed)
-        card = hll_cardinality_batch(sk.rank_view(regs))
+        if estimator == "default":
+            card = hll_cardinality_batch(sk.rank_view(regs))
+        else:  # -e fgra|mle: per-doc likelihood solve over the register
+            # histogram (cheap: ~55 bins x bisection, amortized per batch)
+            card = np.array(
+                [sk.cardinality(regs[i], p, estimator) for i in range(regs.shape[0])]
+            )
         return pd.DataFrame({"regs": list(regs), "card_est": card})
 
     return register_udf

@@ -5,12 +5,13 @@ Builds depth-truncated suffix ranks over the corpus with **prefix doubling**
 (Manber–Myers) expressed as DataFrame ops: ceil(log2 depth) rounds, each a
 self-join on (doc, pos+step) plus a dense re-ranking of the (rank, rank2)
 pairs. After the final round, two positions have equal rank iff their
-suffixes agree on the first ``depth`` bytes — so for depth = L, rank
-equality is EXACT length-L window equality (byte-level, no hash collisions),
+suffixes agree on the first ``depth`` characters — so for depth = L, rank
+equality is EXACT length-L window equality (codepoint-level, no hash collisions;
+== byte-level on ASCII corpora),
 and `substring_pairs_sa` turns the rank groups into doc pairs through the
 same skew-tiered pair generator the LSH path uses.
 
-Scale notes: this pass explodes one row per byte position, so like the
+Scale notes: this pass explodes one row per character position, so like the
 reference-class suffix-array dedup (Lee et al. 2022, "Deduplicating
 Training Data Makes Language Models Better") it is the *bounded* second
 pass — run it corpus-wide at small scale or restricted to candidate
@@ -48,17 +49,21 @@ def suffix_ranks(
     id_col: str = "url",
     text_col: str = "norm_text",
 ) -> DataFrame:
-    """(id, pos, sa_rank) for every byte position: sa_rank is the dense
-    lexicographic rank of the suffix truncated to ``depth`` bytes
+    """(id, pos, sa_rank) for every character position: sa_rank is the dense
+    lexicographic rank of the suffix truncated to ``depth`` characters
     (corpus-global). pos is 1-based. Positions with fewer than ``depth``
-    bytes remaining compare with an end sentinel (-1) that sorts low,
+    characters remaining compare with an end sentinel (-1) that sorts low,
     matching ordinary suffix order for the truncated view."""
     d = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-    # initial rank = 4 bytes packed base-257 (byte+1; 0 = past-the-end
-    # sentinel, so shorter suffixes sort first) — order-preserving, exact,
-    # and saves two doubling rounds vs single-byte init
-    init = min(4, depth)
-    weights = [257 ** (init - 1 - j) for j in range(init)]
+    # initial rank = 3 characters packed base-2^21 (codepoint+1; 0 =
+    # past-the-end sentinel, so shorter suffixes sort first). 2^21 >
+    # 0x110000 covers every Unicode codepoint, so the packing is injective
+    # for arbitrary text (3 * 21 = 63 bits fits a signed long exactly) —
+    # order-preserving, character-exact, and saves doubling rounds vs
+    # single-char init. Units are CODEPOINTS, matching SQL substr semantics
+    # (== bytes on ASCII corpora).
+    init = min(3, depth)
+    weights = [(1 << 21) ** (init - 1 - j) for j in range(init)]
     terms = " + ".join(
         f"coalesce(element_at(_bp, i + {j}), 0) * {w}" for j, w in enumerate(weights)
     )
@@ -110,9 +115,9 @@ def substring_pairs_sa(
     max_bucket: int = 2000,
     candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact (id_a, id_b) pairs sharing a byte-identical substring of
+    """Exact (id_a, id_b) pairs sharing a character-identical substring of
     length >= min_len, via suffix ranks at depth = min_len: positions with
-    equal rank share their first min_len bytes exactly, so distinct doc
+    equal rank share their first min_len characters exactly, so distinct doc
     pairs within a rank group ARE the answer — no hashes, no verification
     step. Rank groups feed the skew-tiered pair generator (a giant repeated
     substring is precisely the hot-bucket case)."""

@@ -47,11 +47,19 @@ def stream_signatures(
     catalog.set_properties(
         "signatures", {"params_hash": params.params_hash(), "params": params.to_json()}
     )
+    # Replay can only happen on the FIRST batch after a (re)start (the
+    # append committed but the offset checkpoint didn't); within a run the
+    # checkpointed offsets already guarantee each batch is delivered once.
+    # So pay the anti-join against the accumulated table once per start,
+    # not per batch — per-batch cost would grow linearly with history.
+    first_batch = {"pending": True}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         normed = with_normalized_text(batch_df.select(id_col, text_col), text_col)
-        existing = catalog.read("signatures") if catalog.exists("signatures") else None
-        normed = resume_delta(normed, existing, id_col)
+        if first_batch["pending"]:
+            existing = catalog.read("signatures") if catalog.exists("signatures") else None
+            normed = resume_delta(normed, existing, id_col)
+            first_batch["pending"] = False
         sigs = build_signatures(normed, params, plan, id_col=id_col, min_parallelism=1)
         catalog.append(sigs, "signatures")
         catalog.log_metrics(

@@ -386,3 +386,68 @@ def test_substring_pairs_sa_matches_winnowing_engine(spark):
         for r in exact_substring_pairs(df, min_len=64, k=32, id_col="url").collect()
     }
     assert sa == win == {(1, 2)}
+
+
+# ------------------------------------------------------- review-pass fixes
+
+def test_suffix_ranks_unicode_codepoints(spark):
+    """Base-2^21 packing must be injective for non-ASCII codepoints
+    (base-257 byte packing would alias these prefixes)."""
+    from lash_spark.operators.suffixarray import suffix_ranks
+
+    rows = [(1, "Ā ab"), (2, "āxyz"), (3, "ÿāab")]
+    df = spark.createDataFrame(rows, "url bigint, norm_text string")
+    depth = 3
+    got = {(r.url, r.pos): r.sa_rank for r in suffix_ranks(df, depth, id_col="url").collect()}
+    sufs = {}
+    for uid, t in rows:
+        for p in range(1, len(t) + 1):
+            sufs[(uid, p)] = t[p - 1 : p - 1 + depth]
+    order = {s: i for i, s in enumerate(sorted(set(sufs.values())))}
+    assert got == {k: order[v] for k, v in sufs.items()}
+
+
+def test_validate_compatible_checks_minhash_config():
+    a = SketchParams(num_perm=128)
+    with pytest.raises(ValueError, match="minhash signature config"):
+        a.validate_compatible(SketchParams(num_perm=64))
+    with pytest.raises(ValueError, match="minhash signature config"):
+        a.validate_compatible(SketchParams(minhash_mode="kperm"))
+    a.validate_compatible(SketchParams(num_perm=128))  # ok
+
+
+def test_register_udf_honors_estimator(spark):
+    from lash_spark.operators.signatures import add_register_sketch
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog " * 30)]
+    df = spark.createDataFrame(rows, "url bigint, norm_text string")
+    ests = {}
+    for e in ("default", "mle"):
+        out = add_register_sketch(
+            df, SketchParams(algorithm="hll", precision=8, estimator=e)
+        ).collect()[0]
+        ests[e] = out.card_est
+    assert ests["default"] != ests["mle"]  # different estimators ran
+    # both near the true distinct-shingle count
+    from lash_spark.hashing import batch_shingle_hashes
+
+    truth = batch_shingle_hashes([rows[0][1].encode()], 16)[0].size
+    for e, v in ests.items():
+        assert abs(v - truth) / truth < 0.2, (e, v, truth)
+
+
+def test_cross_pairs_symmetric_skew(spark):
+    """A hot QUERY-side bucket must still produce all pairs (salted tier 3)."""
+    from lash_spark.operators.lsh import cross_pairs_from_keys
+
+    q = spark.createDataFrame(
+        [(f"q{i}", 0, 7) for i in range(40)], "url string, band_id int, key long"
+    )
+    r = spark.createDataFrame(
+        [(f"r{i}", 0, 7) for i in range(5)], "url string, band_id int, key long"
+    )
+    got = {
+        (x.url_q, x.url_r)
+        for x in cross_pairs_from_keys(q, r, id_col="url", max_bucket=8).collect()
+    }
+    assert got == {(f"q{i}", f"r{j}") for i in range(40) for j in range(5)}
