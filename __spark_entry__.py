@@ -396,6 +396,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ie_jaccard_sketch_tolerance"] = ie_jaccard_sketch_tolerance
 
+    # ---- ULL twin of the gate above (A4/U2/A5): registers carry Ertl's
+    # (q<<2)|d1|d0 layout, card_est comes from the closed-form FGRA batch
+    # estimator (the reference's `-e fgra` default, main.rs:143-151), the
+    # union is the EXACT d-bit Column merge (ull_union_expr — not the
+    # lossy greatest()), and the union cardinality is the FGRA Column
+    # expression, so the whole ULL pair phase is JVM-side codegen
+    def ull_ie_jaccard_tolerance(spark, sf_dir):
+        from lash_spark.estimators import ull_cardinality_fgra_expr, ull_union_expr
+
+        p = 10
+        d = (
+            _normed(spark, sf_dir)
+            .filter((F.col("doc_id") < 60) & (F.length("norm_text") >= K))
+        )
+        sk = add_register_sketch(
+            d.select("doc_id", "norm_text"),
+            SketchParams(
+                shingle_k=K, algorithm="ull", precision=p, seed=42, estimator="fgra"
+            ),
+            out_col="regs",
+        ).select("doc_id", "regs", "card_est")
+        pairs = (
+            sk.alias("a")
+            .crossJoin(sk.alias("b"))
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"),
+                F.col("a.card_est").alias("ca"),
+                F.col("b.card_est").alias("cb"),
+                ull_cardinality_fgra_expr(
+                    ull_union_expr("a.regs", "b.regs"), p
+                ).alias("cu"),
+            )
+        )
+        j_est = F.greatest(
+            F.lit(0.0), (F.col("ca") + F.col("cb") - F.col("cu")) / F.col("cu")
+        )
+        exact_sh = F.expr(
+            f"array_distinct(transform(sequence(1, length(norm_text) - {K - 1}),"
+            f" i -> substring(norm_text, i, {K})))"
+        )
+        ex = d.select("doc_id", exact_sh.alias("sh"))
+        inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+        withx = (
+            pairs.join(
+                ex.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sa")),
+                "doc_id_a",
+            )
+            .join(
+                ex.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sb")),
+                "doc_id_b",
+            )
+            .withColumn(
+                "j_exact",
+                inter / (F.size("sa") + F.size("sb") - inter),
+            )
+            .withColumn("within_tol", F.abs(j_est - F.col("j_exact")) <= 0.1)
+        )
+        return withx.select(
+            "doc_id_a", "doc_id_b", F.round("j_exact", 6).alias("j_exact"), "within_tol"
+        )
+
+    q["ull_ie_jaccard_tolerance"] = ull_ie_jaccard_tolerance
+
     # ---- two-dataset query x reference pair mode (the reference's primary
     # `dist` use case, main.rs:353-401): band cross-join + exact verify
     def cross_dataset(spark, sf_dir):
@@ -829,6 +894,11 @@ SELECT g.doc_id_a, g.doc_id_b,
        true AS within_tol
 FROM grid g LEFT JOIN inter i ON i.da = g.doc_id_a AND i.db = g.doc_id_b
 """
+
+    # ULL twin runs the same doc subset through FGRA cardinalities + the
+    # exact d-bit Column union; the exact-jaccard basis and the constant
+    # within_tol gate are identical, so the oracle SQL is shared
+    o["ull_ie_jaccard_tolerance"] = o["ie_jaccard_sketch_tolerance"]
 
     o["cross_dataset_pairs"] = f"""
 WITH normed AS (

@@ -30,8 +30,15 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--algorithm", default="minhash")
     p.add_argument("--threshold", type=float, default=0.8)
-    p.add_argument("--model", type=int, default=1, help="0=binomial 1=poisson (main.rs numbering)")
-    p.add_argument("-e", "--estimator", default="default", help="default|fgra|mle (main.rs:143-151)")
+    # default=None so subcommands can tell "user passed the flag" apart
+    # from "default": `dist` honors --model at dist time (the distance
+    # equation is a dist-time flag in the reference, main.rs:415-423)
+    # while sketch-time subcommands fall back to model 1 / estimator
+    # "default" when unset
+    p.add_argument("--model", type=int, default=None,
+                   help="0=binomial 1=poisson (main.rs numbering)")
+    p.add_argument("-e", "--estimator", default=None,
+                   help="default|fgra|mle (main.rs:143-151; sketch-time only)")
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--id-col", default="url")
     p.add_argument("--text-col", default="text")
@@ -58,6 +65,23 @@ def load_sketch_params(signatures_dir: str):
         )
 
 
+def resolve_dist_options(args, params_q):
+    """Dist-time flag resolution: the distance equation is a DIST-time
+    choice in the reference (main.rs:415-423), so an explicit --model
+    overrides the sketch-time sidecar instead of being silently dropped.
+    The estimator, by contrast, is baked into the cached card_est at
+    sketch time — a conflicting dist-time -e is a hard error rather than
+    silently ignored user intent."""
+    model = args.model if args.model is not None else params_q.distance_model
+    if args.estimator is not None and args.estimator != params_q.estimator:
+        raise SystemExit(
+            f"error: -e/--estimator is a sketch-time option; these "
+            f"signatures were built with '{params_q.estimator}' "
+            f"(re-run `sketch -e {args.estimator}` to change it)"
+        )
+    return model
+
+
 def _spark(args):
     from lash_spark.session import get_spark
 
@@ -73,8 +97,8 @@ def _params(args):
         precision=args.precision,
         seed=args.seed,
         algorithm=args.algorithm,
-        distance_model=args.model,
-        estimator=getattr(args, "estimator", "default"),
+        distance_model=args.model if args.model is not None else 1,
+        estimator=getattr(args, "estimator", None) or "default",
         normalize_version=getattr(args, "normalize_version", 1),
     )
 
@@ -176,6 +200,7 @@ def main(argv=None):
         params_q = load_sketch_params(args.query)
         params_r = load_sketch_params(args.reference)
         params_q.validate_compatible(params_r)
+        dist_model = resolve_dist_options(args, params_q)
         same_files = args.query == args.reference  # main.rs:404
         sig_q = spark.read.parquet(args.query)
         docs_q = with_normalized_text(
@@ -194,7 +219,7 @@ def main(argv=None):
             ia, ib = f"{args.id_col}_a", f"{args.id_col}_b"
             verified = with_distance_columns(
                 verified, "jaccard", k=params_q.shingle_k,
-                model=params_q.distance_model, fp32=args.fp32, id_col=args.id_col,
+                model=dist_model, fp32=args.fp32, id_col=args.id_col,
             )
         else:
             sig_r = spark.read.parquet(args.reference)
@@ -210,7 +235,7 @@ def main(argv=None):
             ia, ib = f"{args.id_col}_r", f"{args.id_col}_q"
             verified = with_distance_columns(
                 verified, "jaccard", k=params_q.shingle_k,
-                model=params_q.distance_model, fp32=args.fp32, id_col=args.id_col,
+                model=dist_model, fp32=args.fp32, id_col=args.id_col,
             )
         write_distance_tsv(verified, args.output, id_a=ia, id_b=ib)
         print(json.dumps({"dist": args.output, "rows": verified.count(),

@@ -31,6 +31,75 @@ def minhash_union_expr(a: Column | str, b: Column | str) -> Column:
     return F.zip_with(_c(a), _c(b), lambda x, y: F.least(x, y))
 
 
+def _ull_fields_expr(x: Column):
+    """(q, d1, d0) of a packed ULL register value (sketches.ull_registers
+    layout: u = (q << 2) | (d1 << 1) | d0)."""
+    return (
+        F.shiftright(x, 2),
+        F.shiftright(x, 1).bitwiseAND(F.lit(1)),
+        x.bitwiseAND(F.lit(1)),
+    )
+
+
+def ull_union_expr(a: Column | str, b: Column | str) -> Column:
+    """EXACT ULL merge as a pure Column expression (U2, utils.rs:260-262):
+    q = max(q_a, q_b); the merged d-bits record whether rank q-1 / q-2 is in
+    the union of the two sides' presence sets {q_x, q_x-1 if d1, q_x-2 if
+    d0} — bit-for-bit the same algebra as the Python kernel
+    sketches.ull_union (property-tested equal on random register pairs).
+    Element-wise greatest() is NOT this merge: on q ties it takes one
+    side's d-bits and drops the other's."""
+
+    def contains(r: Column, qx: Column, d1x: Column, d0x: Column) -> Column:
+        return (
+            ((qx >= 1) & (qx == r))
+            | ((d1x == 1) & (qx - 1 == r))
+            | ((d0x == 1) & (qx - 2 == r))
+        )
+
+    def merge(x: Column, y: Column) -> Column:
+        qa, d1a, d0a = _ull_fields_expr(x)
+        qb, d1b, d0b = _ull_fields_expr(y)
+        q = F.greatest(qa, qb)
+        d1 = (contains(q - 1, qa, d1a, d0a) | contains(q - 1, qb, d1b, d0b)) & (q >= 2)
+        d0 = (contains(q - 2, qa, d1a, d0a) | contains(q - 2, qb, d1b, d0b)) & (q >= 3)
+        return (
+            F.shiftleft(q, 2) + F.shiftleft(d1.cast("int"), 1) + d0.cast("int")
+        ).cast("int")
+
+    return F.zip_with(_c(a), _c(b), merge)
+
+
+def ull_cardinality_fgra_expr(regs: Column | str, p: int) -> Column:
+    """Closed-form FGRA cardinality (sketches.ull_cardinality_fgra_batch
+    twin) as a Column expression: S = sum area(u)^tau via aggregate(), then
+    m*(C*m/S)^(1/tau) with linear counting below the crossover — keeps the
+    ULL IE-Jaccard pair phase entirely inside WholeStageCodegen, like the
+    HLL path's hll_cardinality_expr."""
+    from lash_spark.sketches import FGRA_TAU, fgra_constant
+
+    regs = _c(regs)
+    m = 1 << p
+    q_max = 64 - p + 1
+    c = fgra_constant(p)
+
+    def w(u: Column) -> Column:
+        q, d1, d0 = _ull_fields_expr(u)
+        qd = q.cast("double")
+        area = (
+            F.when(q < q_max, F.pow(F.lit(2.0), -qd)).otherwise(F.lit(0.0))
+            + F.when((q >= 2) & (d1 == 0), F.pow(F.lit(2.0), F.lit(1.0) - qd)).otherwise(F.lit(0.0))
+            + F.when((q >= 3) & (d0 == 0), F.pow(F.lit(2.0), F.lit(2.0) - qd)).otherwise(F.lit(0.0))
+        )
+        return F.pow(area, F.lit(FGRA_TAU))
+
+    s = F.aggregate(regs, F.lit(0.0), lambda acc, u: acc + w(u))
+    raw = F.lit(float(m)) * F.pow(F.lit(c * m) / s, F.lit(1.0 / FGRA_TAU))
+    zeros = F.size(F.filter(regs, lambda u: u == 0)).cast("double")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    return F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+
+
 # --------------------------------------------------------- jaccard family
 
 def minhash_jaccard_expr(a: Column | str, b: Column | str) -> Column:

@@ -24,7 +24,6 @@ from lash_spark.hashing import perm_keys
 from lash_spark.sketches import (
     EMPTY_MIN,
     band_hashes,
-    hll_cardinality_batch,
     sig_to_reg32,
 )
 
@@ -130,13 +129,9 @@ def make_register_udf(params: SketchParams):
         sk = get_sketcher(alg)
         h, seg = batch_window_hash_segments(_encode(texts), k)
         regs = sk.registers_segments(h, seg, p, seed)
-        if estimator == "default":
-            card = hll_cardinality_batch(sk.rank_view(regs))
-        else:  # -e fgra|mle: per-doc likelihood solve over the register
-            # histogram (cheap: ~55 bins x bisection, amortized per batch)
-            card = np.array(
-                [sk.cardinality(regs[i], p, estimator) for i in range(regs.shape[0])]
-            )
+        # batch estimator dispatch: ULL `-e fgra` is a vectorized table
+        # gather (closed form); MLE paths solve per doc (small: ~55 bins)
+        card = sk.cardinality_batch(regs, p, estimator)
         return pd.DataFrame({"regs": list(regs), "card_est": card})
 
     return register_udf

@@ -19,28 +19,62 @@ documents (`candidates=`) at web scale. The winnowing engine
 (operators/substring.py) is the probabilistic-candidate production path;
 this one is its exact, hash-free twin plus a true lexicographic suffix
 order for maximal-repeat analyses. Dense ranking of distinct keys uses a
-distributed range-partitioned sort + zipWithIndex (per-partition counts +
-offsets — no single-partition window).
+distributed range-partitioned sort + broadcast partition offsets +
+Arrow-batch index assignment (no single-partition window, no per-row
+Python serialization anywhere in the DAG).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from lash_spark.operators.lsh import pairs_from_keys
 
 
 def _dense_ranks(keys: DataFrame, cols: "list[str]", out: str = "nr") -> DataFrame:
     """Order-preserving dense ranks for the distinct rows of ``keys``:
-    distributed sort (range partitioner) + zipWithIndex (per-partition
-    counts, then offsets) — the scalable alternative to a global Window."""
-    distinct = keys.select(*cols).distinct().sort(*cols)
-    schema = distinct.schema
-    indexed = distinct.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
-    spark = keys.sparkSession
-    out_schema = schema.add(out, "long", False)
-    return spark.createDataFrame(indexed, out_schema)
+    distributed sort (range partitioner) + per-partition row counts
+    (O(#partitions) driver state, not O(rows)) + `mapInArrow` offset
+    assignment — the scalable alternative to a global Window, and unlike
+    rdd.zipWithIndex it never leaves the JVM/Arrow lane (zipWithIndex
+    round-trips every row through Python pickle).
+
+    The sorted distinct keys are pinned with localCheckpoint so the counts
+    job and the rank-assignment job read the *same* materialized partitions
+    (range-partitioner sampling must not re-run between the two jobs)."""
+    distinct = keys.select(*cols).distinct().sort(*cols).localCheckpoint(eager=False)
+    with_pid = distinct.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    names = [f.name for f in distinct.schema.fields]
+
+    def assign(batches):
+        pos = None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if pos is None:
+                pid = batch.column("_pid")[0].as_py()
+                pos = offsets[pid]
+            idx = pa.array(np.arange(pos, pos + batch.num_rows, dtype=np.int64))
+            pos += batch.num_rows
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(n) for n in names] + [idx], names=names + [out]
+            )
+
+    out_schema = T.StructType(list(distinct.schema.fields)).add(out, T.LongType(), False)
+    return with_pid.mapInArrow(assign, out_schema)
 
 
 def suffix_ranks(
@@ -64,8 +98,11 @@ def suffix_ranks(
     # (== bytes on ASCII corpora).
     init = min(3, depth)
     weights = [(1 << 21) ** (init - 1 - j) for j in range(init)]
+    # weights that fit an int (2^21, 1) would otherwise multiply in 32-bit
+    # and overflow for codepoints >= 1024 under ANSI mode — force BIGINT
     terms = " + ".join(
-        f"coalesce(element_at(_bp, i + {j}), 0) * {w}" for j, w in enumerate(weights)
+        f"coalesce(element_at(_bp, i + {j}), 0) * CAST({w} AS BIGINT)"
+        for j, w in enumerate(weights)
     )
     chars = (
         d.withColumn(

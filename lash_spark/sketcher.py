@@ -49,6 +49,8 @@ class Sketcher(Protocol):
 
     def cardinality(self, regs: np.ndarray, p: int, estimator: str) -> float: ...
 
+    def cardinality_batch(self, regs: np.ndarray, p: int, estimator: str) -> np.ndarray: ...
+
     def rank_view(self, regs: np.ndarray) -> np.ndarray: ...
 
 
@@ -90,6 +92,13 @@ class HllSketcher:
     def cardinality(self, regs, p, estimator="default"):
         return S.hll_cardinality(regs, estimator="mle" if estimator in ("mle", "fgra") else "default")
 
+    def cardinality_batch(self, regs, p, estimator="default"):
+        # HLL has no d-bits, so FGRA degenerates to the rank-only family;
+        # "fgra"/"mle" run the histogram MLE per doc (small: ~55 bins)
+        if estimator in ("mle", "fgra"):
+            return np.array([S.hll_cardinality_mle(regs[i], p) for i in range(regs.shape[0])])
+        return S.hll_cardinality_batch(regs)
+
     def rank_view(self, regs):
         return regs
 
@@ -106,20 +115,24 @@ class UllSketcher:
         return S.ull_union(a, b)
 
     def union_expr(self, a, b):
-        # exact merge needs the d-bit bookkeeping (Python kernel); the
-        # Column path merges the dominant rank field, which is what the
-        # cardinality expr consumes
-        from pyspark.sql import functions as F
-
-        return F.zip_with(
-            E._c(a), E._c(b), lambda x, y: F.greatest(x, y)
-        )
+        # exact d-bit merge as a Column expression (property-tested equal
+        # to the Python kernel ull_union on random register pairs)
+        return E.ull_union_expr(a, b)
 
     def similarity_expr(self, a, b):
         return E.hmh_jaccard_expr(a, b)
 
     def cardinality(self, regs, p, estimator="fgra"):
         return S.ull_cardinality(regs, p, estimator=estimator)
+
+    def cardinality_batch(self, regs, p, estimator="fgra"):
+        if estimator == "mle":
+            return np.array(
+                [S.ull_cardinality(regs[i], p, "mle") for i in range(regs.shape[0])]
+            )
+        if estimator == "default":  # rank-only harmonic family
+            return S.hll_cardinality_batch(self.rank_view(regs))
+        return S.ull_cardinality_fgra_batch(regs, p)
 
     def rank_view(self, regs):
         return (regs >> 2).astype(np.int32)
@@ -144,6 +157,12 @@ class HmhSketcher:
 
     def cardinality(self, regs, p, estimator="default"):
         return S.hll_cardinality(self.rank_view(regs), estimator="mle" if estimator in ("mle", "fgra") else "default")
+
+    def cardinality_batch(self, regs, p, estimator="default"):
+        rv = self.rank_view(regs)
+        if estimator in ("mle", "fgra"):
+            return np.array([S.hll_cardinality_mle(rv[i], p) for i in range(rv.shape[0])])
+        return S.hll_cardinality_batch(rv)
 
     def rank_view(self, regs):
         return (regs >> 16).astype(np.int32)

@@ -47,19 +47,26 @@ def stream_signatures(
     catalog.set_properties(
         "signatures", {"params_hash": params.params_hash(), "params": params.to_json()}
     )
-    # Replay can only happen on the FIRST batch after a (re)start (the
-    # append committed but the offset checkpoint didn't); within a run the
-    # checkpointed offsets already guarantee each batch is delivered once.
-    # So pay the anti-join against the accumulated table once per start,
-    # not per batch — per-batch cost would grow linearly with history.
-    first_batch = {"pending": True}
+    # Replay can happen on the FIRST batch after a (re)start (the append
+    # committed but the offset checkpoint didn't) AND on a within-run retry
+    # (foreachBatch re-invokes the function if it raises after the append
+    # committed). Guard both with one flag: it is set pessimistically at
+    # batch entry and cleared only after the whole batch succeeded, so any
+    # failure leaves the NEXT invocation paying the anti-join — per-batch
+    # cost stays amortized O(1) anti-joins on the happy path instead of
+    # growing linearly with history.
+    guard = {"pending": True}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        normed = with_normalized_text(batch_df.select(id_col, text_col), text_col)
-        if first_batch["pending"]:
+        need_guard = guard["pending"]
+        guard["pending"] = True  # stays set if anything below raises
+        normed = with_normalized_text(
+            batch_df.select(id_col, text_col), text_col,
+            version=params.normalize_version,
+        )
+        if need_guard:
             existing = catalog.read("signatures") if catalog.exists("signatures") else None
             normed = resume_delta(normed, existing, id_col)
-            first_batch["pending"] = False
         sigs = build_signatures(normed, params, plan, id_col=id_col, min_parallelism=1)
         catalog.append(sigs, "signatures")
         catalog.log_metrics(
@@ -69,6 +76,7 @@ def stream_signatures(
             output_rows=None,
             status="complete",
         )
+        guard["pending"] = False
 
     writer = pages_stream.writeStream.foreachBatch(process).outputMode("append")
     if checkpoint_dir:
@@ -94,22 +102,21 @@ def stream_exact_dedup(
     pages_stream: DataFrame,
     id_col: str = "url",
     text_col: str = "text",
-    key_buckets: int = 64,
 ):
     """Custom stateful streaming operator (applyInPandasWithState): exact
     content dedup over an unbounded page stream — only the FIRST document
     with each normalized-content fingerprint is emitted; later arrivals
     (within and across micro-batches) are dropped.
 
-    State layout: streams are hash-partitioned into ``key_buckets`` groups
-    by fingerprint, and each group's state is the array of fingerprints
-    seen so far. Keying by fp-bucket (not by fp) keeps the state-store row
-    count bounded by key_buckets instead of corpus size; within a bucket
-    membership is a vectorized pandas isin. At real scale the per-bucket
-    array would be a Bloom/compact-binary state — the operator shape
-    (groupBy bucket -> applyInPandasWithState, append mode) is the one
-    that matters. The reference has no streaming at all (SURVEY §2.8);
-    this is the north-rule extension for continuous crawl ingest.
+    State layout: keyed by FINGERPRINT — one tiny boolean state row per
+    distinct fp, written exactly once (when the fp is first seen) and only
+    read for fps present in the current batch. Per-batch state IO is
+    therefore O(batch), never O(corpus); total state-store rows = distinct
+    fps, which is exactly the per-key scaling RocksDB-backed state stores
+    are built for (vs. the naive per-bucket array design, which rewrites
+    the entire seen-set every micro-batch). The reference has no streaming
+    at all (SURVEY §2.8); this is the north-rule extension for continuous
+    crawl ingest.
     """
     from collections.abc import Iterator
 
@@ -121,23 +128,21 @@ def stream_exact_dedup(
 
     fp = F.md5(normalize_text(text_col))
     keyed = pages_stream.select(
-        F.col(id_col).cast("string").alias("id"),
-        fp.alias("fp"),
-        F.pmod(F.xxhash64(fp), F.lit(key_buckets)).cast("int").alias("bucket"),
+        F.col(id_col).cast("string").alias("id"), fp.alias("fp")
     )
 
     out_schema = "id string, fp string"
-    state_schema = "seen array<string>"
+    state_schema = "seen boolean"
 
     def dedup_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        seen = set(state.get[0]) if state.exists else set()
+        if state.exists:  # fp already emitted in an earlier batch: drop all
+            return
         for pdf in pdfs:
-            fresh = pdf[~pdf["fp"].isin(seen) & ~pdf["fp"].duplicated(keep="first")]
-            seen.update(fresh["fp"])
-            if len(fresh):
-                yield fresh[["id", "fp"]]
-        state.update((sorted(seen),))
+            if len(pdf):
+                state.update((True,))
+                yield pdf.iloc[[0]][["id", "fp"]]
+                return
 
-    return keyed.groupBy("bucket").applyInPandasWithState(
+    return keyed.groupBy("fp").applyInPandasWithState(
         dedup_fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

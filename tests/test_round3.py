@@ -1,0 +1,229 @@
+"""Round-3 additions: closed-form FGRA estimator (the reference's `-e
+fgra` default, main.rs:143-151), exact ULL d-bit merge as a Column
+expression, JVM/Arrow dense-ranker for the suffix-array pass, dist-time
+--model override, and the vectorized cardinality_batch dispatch."""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+import pytest
+
+from lash_spark.sketches import (
+    fgra_constant,
+    ull_cardinality,
+    ull_cardinality_fgra_batch,
+    ull_registers,
+    ull_union,
+)
+
+
+def _hashes(n, seed=7):
+    from lash_spark.hashing import mix64
+
+    return mix64(np.arange(1, n + 1, dtype=np.uint64) + np.uint64(seed * 1_000_003))
+
+
+# ------------------------------------------------------- closed-form FGRA
+
+@pytest.mark.parametrize("n", [50, 200, 1000, 10000, 120000])
+def test_fgra_within_theory_error_and_tracks_mle(n):
+    """VERDICT r2 #5 done-criterion: closed form vs MLE within theory
+    error on synthetic cardinalities. Both estimators read the same
+    (q, d1, d0) state, so they must agree to a few relative sigma
+    (sigma ~ 1/sqrt(m) ~ 3% at p=10)."""
+    regs = ull_registers(_hashes(n), p=10, seed=42)
+    fgra = ull_cardinality(regs, p=10, estimator="fgra")
+    mle = ull_cardinality(regs, p=10, estimator="mle")
+    assert abs(fgra - n) / n < 0.10, (n, fgra)
+    assert abs(fgra - mle) / n < 0.08, (n, fgra, mle)
+
+
+def test_fgra_batch_matches_scalar_and_empty_is_zero():
+    ns = (10, 300, 9000)
+    regs = np.stack([ull_registers(_hashes(n, seed=n), 10, 42) for n in ns])
+    batch = ull_cardinality_fgra_batch(regs, 10)
+    for i, n in enumerate(ns):
+        assert batch[i] == pytest.approx(ull_cardinality(regs[i], p=10, estimator="fgra"))
+    empty = np.zeros((1, 1024), dtype=np.int32)
+    assert ull_cardinality_fgra_batch(empty, 10)[0] == 0.0
+
+
+def test_fgra_constant_is_flat_over_operating_range():
+    """The closed form's bias equals the flatness of lam^tau * psi(lam);
+    the calibration (tools/fgra_calibrate.py) claims <= ~2.5% spread."""
+    from lash_spark.sketches import FGRA_TAU, _fgra_psi
+
+    lam = np.geomspace(3.0, 1000.0, 40)
+    curve = lam ** FGRA_TAU * _fgra_psi(lam, 10, FGRA_TAU)
+    c = fgra_constant(10)
+    assert float(np.max(np.abs(curve / c - 1.0))) < 0.05
+
+
+def test_cardinality_batch_dispatch_all_sketchers():
+    """Sketcher.cardinality_batch agrees with the scalar path for every
+    (algorithm, estimator) the CLI accepts."""
+    from lash_spark.sketcher import get_sketcher
+
+    for alg in ("hll", "ull", "hmh"):
+        sk = get_sketcher(alg)
+        regs = np.stack(
+            [sk.registers_segments(_hashes(n, seed=n), np.array([0, n]), 10, 42)[0]
+             for n in (100, 5000)]
+        )
+        for est in ("default", "fgra", "mle"):
+            batch = sk.cardinality_batch(regs, 10, est)
+            assert batch.shape == (2,)
+            for i, n in enumerate((100, 5000)):
+                assert abs(batch[i] - n) / n < 0.2, (alg, est, n, batch[i])
+
+
+# ------------------------------------------ exact ULL merge as Column expr
+
+def test_ull_union_expr_matches_kernel(spark):
+    """VERDICT r2 #3 done-criterion: property test union_expr == ull_union
+    on register pairs — real sketches across sizes/seeds (valid states)
+    plus handcrafted q-tie pairs with differing d-bits, exactly the case
+    element-wise greatest() gets wrong."""
+    from pyspark.sql import functions as F
+
+    from lash_spark.estimators import ull_union_expr
+
+    p = 4
+    rows = []
+    for seed_a, seed_b, na, nb in [
+        (1, 2, 30, 500), (3, 4, 5000, 5000), (5, 6, 1, 80000), (7, 8, 200, 199)
+    ]:
+        ra = ull_registers(_hashes(na, seed=seed_a), p, 42)
+        rb = ull_registers(_hashes(nb, seed=seed_b), p, 42)
+        rows.append((ra.tolist(), rb.tolist(), ull_union(ra, rb).tolist()))
+    # q ties with differing d-bits: (q=5,d1=1,d0=0)=(5<<2)|2=22 vs
+    # (q=5,d1=0,d0=1)=21 must merge to (q=5,d1=1,d0=1)=23 — greatest()
+    # would give 22. Plus rank-adjacent pairs where one side's q becomes
+    # the other's d1/d0 evidence.
+    hand_a = np.array([22, 20, 12, 0, 4], dtype=np.int32)
+    hand_b = np.array([21, 16, 8, 22, 4], dtype=np.int32)
+    rows.append((hand_a.tolist(), hand_b.tolist(), ull_union(hand_a, hand_b).tolist()))
+
+    df = spark.createDataFrame(rows, "a array<int>, b array<int>, want array<int>")
+    got = df.select(
+        (ull_union_expr("a", "b") == F.col("want")).alias("fwd"),
+        (ull_union_expr("b", "a") == F.col("want")).alias("commut"),
+    ).collect()
+    assert all(r["fwd"] and r["commut"] for r in got)
+
+
+def test_ull_fgra_expr_matches_batch(spark):
+    """The Column-side FGRA cardinality (used by the ULL pair-phase gate)
+    must agree with the numpy batch kernel to fp accuracy."""
+    from lash_spark.estimators import ull_cardinality_fgra_expr
+
+    p = 6
+    regs = [ull_registers(_hashes(n, seed=n), p, 42) for n in (5, 400, 20000)]
+    want = ull_cardinality_fgra_batch(np.stack(regs), p)
+    df = spark.createDataFrame([(r.tolist(),) for r in regs], "regs array<int>")
+    got = [r[0] for r in df.select(ull_cardinality_fgra_expr("regs", p)).collect()]
+    assert np.allclose(got, want, rtol=1e-9)
+
+
+def test_sketcher_union_expr_is_exact_for_ull(spark):
+    """Regression for ADVICE r2: UllSketcher.union_expr must be the exact
+    d-bit merge, not element-wise greatest()."""
+    from pyspark.sql import functions as F
+
+    from lash_spark.sketcher import get_sketcher
+
+    a = np.array([22], dtype=np.int32)
+    b = np.array([21], dtype=np.int32)
+    df = spark.createDataFrame([(a.tolist(), b.tolist())], "a array<int>, b array<int>")
+    got = df.select(get_sketcher("ull").union_expr("a", "b").alias("u")).first()["u"]
+    assert got == ull_union(a, b).tolist() == [23]
+
+
+# ------------------------------------------------- JVM/Arrow dense ranker
+
+def test_dense_ranks_correct_and_never_leaves_jvm(spark):
+    """VERDICT r2 #1 done-criterion: ranks match a global sort order AND
+    the physical plan contains no Python-RDD round-trip (the old
+    rdd.zipWithIndex + createDataFrame showed up as `Scan ExistingRDD`)."""
+    from pyspark.sql import functions as F
+
+    from lash_spark.operators.suffixarray import _dense_ranks
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 2654435761 % 997).alias("r"),
+        (F.col("id") % 31).alias("r2"),
+    )
+    ranked = _dense_ranks(df, ["r", "r2"])
+    rows = ranked.collect()
+    n_distinct = df.select("r", "r2").distinct().count()
+    assert len(rows) == n_distinct
+    by_key = sorted(rows, key=lambda x: (x["r"], x["r2"]))
+    assert [x["nr"] for x in by_key] == list(range(n_distinct))
+
+    # the localCheckpoint inside _dense_ranks shows as `Scan ExistingRDD`
+    # (JVM block-manager blocks — NOT a Python RDD); the Python-free claim
+    # is (a) the index assignment is MapInArrow, (b) no row-at-a-time
+    # Python eval node anywhere, (c) the module never touches the
+    # pickle-serializing RDD API again
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    assert "EvalPython" not in plan, plan
+
+    import ast
+    import inspect
+
+    import lash_spark.operators.suffixarray as sa_mod
+
+    tree = ast.parse(inspect.getsource(sa_mod))
+    attrs = {n.attr for n in ast.walk(tree) if isinstance(n, ast.Attribute)}
+    assert "rdd" not in attrs and "zipWithIndex" not in attrs
+
+
+def test_suffix_ranks_plan_has_no_python_rdd(spark, tiny_pages):
+    """The whole suffix_ranks DAG (prefix-doubling rounds) stays in the
+    JVM/Arrow lane — no row-at-a-time Python eval anywhere."""
+    from pyspark.sql import functions as F
+
+    from lash_spark.operators.suffixarray import suffix_ranks
+
+    docs = tiny_pages.limit(40).select(F.col("url"), F.col("text"))
+    sr = suffix_ranks(docs, 16, id_col="url", text_col="text")
+    plan = sr._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+
+
+def test_suffix_ranks_high_codepoints_no_overflow(spark):
+    """Regression: codepoints >= 1024 (e.g. Cyrillic) overflowed the
+    base-2^21 init packing when the small weights multiplied in 32-bit
+    under ANSI mode — round 2's unicode test only reached codepoint 257."""
+    from lash_spark.operators.suffixarray import suffix_ranks
+
+    rows = [(1, "Жჿfy"), (2, "яz")]  # codepoints 1046, 4351, 1103
+    df = spark.createDataFrame(rows, "url bigint, norm_text string")
+    depth = 3
+    got = {(r.url, r.pos): r.sa_rank for r in suffix_ranks(df, depth, id_col="url").collect()}
+    sufs = {}
+    for uid, t in rows:
+        for p in range(1, len(t) + 1):
+            sufs[(uid, p)] = t[p - 1 : p - 1 + depth]
+    order = {s: i for i, s in enumerate(sorted(set(sufs.values())))}
+    assert got == {k: order[v] for k, v in sufs.items()}
+
+
+# --------------------------------------------------- dist-time model flag
+
+def test_dist_model_overrides_sidecar_and_estimator_conflicts_error():
+    from lash_spark.cli import resolve_dist_options
+    from lash_spark.config import SketchParams
+
+    params = SketchParams(distance_model=1, estimator="fgra")
+    ns = argparse.Namespace(model=0, estimator=None)
+    assert resolve_dist_options(ns, params) == 0
+    ns = argparse.Namespace(model=None, estimator=None)
+    assert resolve_dist_options(ns, params) == 1
+    ns = argparse.Namespace(model=None, estimator="fgra")  # matching: fine
+    assert resolve_dist_options(ns, params) == 1
+    with pytest.raises(SystemExit):
+        resolve_dist_options(argparse.Namespace(model=None, estimator="mle"), params)

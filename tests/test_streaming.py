@@ -75,3 +75,46 @@ def test_stream_exact_dedup_stateful(spark, tmp_path):
         .count()
     )
     assert got.count() == got.select("fp").distinct().count() == n_distinct_fp
+
+    # VERDICT r2 #2 done-criterion: state IO is O(batch), not O(corpus) —
+    # state is keyed by fingerprint and each state row is written exactly
+    # once (when first seen), so total updates across the run == distinct
+    # fps, and each batch updates at most its own row count
+    state_ops = [p["stateOperators"][0] for p in q.recentProgress if p["stateOperators"]]
+    assert sum(op["numRowsUpdated"] for op in state_ops) == n_distinct_fp
+    assert state_ops[-1]["numRowsTotal"] == n_distinct_fp
+    batch_rows = [p["numInputRows"] for p in q.recentProgress if p["stateOperators"]]
+    for op, n_in in zip(state_ops, batch_rows):
+        assert op["numRowsUpdated"] <= n_in
+
+
+def test_stream_signatures_honors_normalize_version(spark, tmp_path):
+    """ADVICE r2: stream_signatures must normalize with the profile in
+    params (v2 here), not the default v1 — otherwise the signatures table
+    is v1-built but tagged with a v2 params_hash."""
+    pages = generate_pages(spark, 80, seed=7, partitions=2)
+    src = str(tmp_path / "src")
+    pages.write.parquet(f"{src}/d0")
+
+    cat = ParquetCatalog(spark, str(tmp_path / "cat"))
+    params = SketchParams(normalize_version=2)
+    stream = spark.readStream.schema(pages.schema).parquet(f"{src}/*")
+    q = stream_signatures(
+        stream, cat, params, checkpoint_dir=str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+
+    got = cat.read("signatures")
+    batch_v2 = build_signatures(
+        with_normalized_text(pages, "text", version=2),
+        params,
+        LshPlan.plan(128, 0.8, 0.995),
+    )
+    batch_v1 = build_signatures(
+        with_normalized_text(pages, "text", version=1),
+        params,
+        LshPlan.plan(128, 0.8, 0.995),
+    )
+    assert got.exceptAll(batch_v2).isEmpty() and batch_v2.exceptAll(got).isEmpty()
+    # and v1 vs v2 genuinely differ on this corpus (the test has teeth)
+    assert not batch_v1.exceptAll(batch_v2).isEmpty()
