@@ -601,6 +601,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["substring_dup_pairs_sa"] = substring_pairs_sa_q
 
+    # bounded `candidates=` mode — the web-scale shape SURVEY O5
+    # prescribes: the corpus-wide suffix sort is restricted (left_semi) to
+    # members of verified near-dup pairs, so the SA pass cost scales with
+    # the duplicate-suspect set, not the corpus. Same window-join oracle,
+    # restricted to the same member set.
+    def substring_sa_bounded(spark, sf_dir):
+        from lash_spark.operators.suffixarray import substring_pairs_sa
+
+        d = _normed(spark, sf_dir)
+        dup = q["near_dup_pairs"](spark, sf_dir)
+        members = (
+            dup.select(F.col("doc_id_a").alias("doc_id"))
+            .unionByName(dup.select(F.col("doc_id_b").alias("doc_id")))
+            .distinct()
+        )
+        return substring_pairs_sa(d, min_len=64, id_col="doc_id", candidates=members)
+
+    q["substring_sa_bounded"] = substring_sa_bounded
+
     # maximal common-substring length (rows-only: LCS length is not
     # reasonably SQL-expressible; the pair SET is oracled above)
     def substring_lens(spark, sf_dir):
@@ -940,6 +959,22 @@ GROUP BY 1, 2
     # identical truth set; the SA engine is byte-exact so this parity is
     # unconditional (no hash-collision caveat)
     o["substring_dup_pairs_sa"] = o["substring_dup_pairs"]
+
+    # bounded mode: same window join restricted to near-dup pair members
+    o["substring_sa_bounded"] = _SHINGLE_PAIRS_CTE + """,
+members AS (
+  SELECT doc_id_a AS doc_id FROM dup UNION SELECT doc_id_b FROM dup
+),
+w AS (
+  SELECT DISTINCT n.doc_id, substr(n.t, i.i, 64) AS s
+  FROM normed n JOIN members m ON m.doc_id = n.doc_id,
+       LATERAL (SELECT unnest(generate_series(1, len(n.t) - 63)) AS i) i
+  WHERE len(n.t) >= 64
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
 
     o["quality_filter_flags"] = f"""
 WITH s AS (

@@ -48,13 +48,21 @@ def _build_queries(sf_dir: str):
         return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     def q_signatures(spark):
-        d = with_normalized_text(docs(spark), "text")
+        d = with_normalized_text(docs(spark).select("doc_id", "text"), "text")
         return build_signatures(d, params, plan, id_col="doc_id").count()
 
     def q_near_dup_pairs(spark):
-        d = with_normalized_text(docs(spark), "text")
+        # same skew-tier config as dedup_pipeline (max_bucket=256,
+        # star_threshold=512): round-2 benched this stage with the
+        # lsh_candidate_pairs defaults (max_bucket=2000, no star tier),
+        # which does quadratic pair volume on hot bands that the pipeline
+        # avoids — that, not an engine fault, is why near_dup_pairs
+        # measured SLOWER than full_pipeline (19.6 vs 13.3 s) in r2
+        d = with_normalized_text(docs(spark).select("doc_id", "text"), "text")
         sigs = build_signatures(d, params, plan, id_col="doc_id").persist()
-        cands = lsh_candidate_pairs(sigs, id_col="doc_id").persist()
+        cands = lsh_candidate_pairs(
+            sigs, id_col="doc_id", max_bucket=256, salt_buckets=8, star_threshold=512
+        ).persist()
         n = verify_pairs(
             cands, d, params, id_col="doc_id", threshold=0.8, sig_df=sigs
         ).count()
@@ -67,7 +75,7 @@ def _build_queries(sf_dir: str):
         return res.clusters.count()
 
     def q_exact_dedup(spark):
-        d = with_normalized_text(docs(spark), "text")
+        d = with_normalized_text(docs(spark).select("doc_id", "text"), "text")
         return dedup_exact(d, id_col="doc_id").count()
 
     def q_text_stats(spark):
@@ -82,8 +90,17 @@ def _build_queries(sf_dir: str):
         return brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=10).count()
 
     def q_substring(spark):
-        d = with_normalized_text(docs(spark), "text")
+        d = with_normalized_text(docs(spark).select("doc_id", "text"), "text")
         return exact_substring_pairs(d, min_len=64, k=32, id_col="doc_id").count()
+
+    def q_substring_sa(spark):
+        # the hash-free suffix-array twin of substring_pass (prefix
+        # doubling; Arrow dense-ranker) — benched since r3 to track the
+        # zipWithIndex -> mapInArrow rank-assignment rewrite
+        from lash_spark.operators.suffixarray import substring_pairs_sa
+
+        d = with_normalized_text(docs(spark).select("doc_id", "text"), "text")
+        return substring_pairs_sa(d, min_len=64, id_col="doc_id").count()
 
     def q_synth_pipeline_50k(spark):
         pages = generate_pages(spark, 50_000, seed=42, partitions=128)
@@ -123,6 +140,7 @@ def _build_queries(sf_dir: str):
         ("text_stats", q_text_stats),
         ("ann_topk", q_ann_topk),
         ("substring_pass", q_substring),
+        ("substring_pass_sa", q_substring_sa),
         ("cross_dataset_pairs", q_cross_dataset),
         ("quality_filter", q_quality_filter),
         ("ivf_topk", q_ivf_topk),
@@ -148,19 +166,40 @@ def run_default():
     )
     spark.sparkContext.setLogLevel("ERROR")
     queries = _build_queries(sf_dir)
+    # median-of-N per query: this box's run-to-run throttling swings are
+    # ~3x (BENCH/BASELINE.md), so single-shot timings can't distinguish a
+    # real regression from noise. The first rep additionally pays JVM
+    # JIT / codegen / Arrow-worker warm-up, which the median discards.
+    # synth_pipeline_50k runs once (it is ~45 s alone and generates its
+    # own corpus; its scaling story is covered by --scaling instead).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", 3))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     for name, fn in queries:
-        t0 = time.monotonic()
-        rows[name] = int(fn(spark) or 0)
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {timings[name]}s rows={rows[name]}", file=sys.stderr, flush=True)
+        n_reps = 1 if name == "synth_pipeline_50k" else reps
+        samples = []
+        for _ in range(n_reps):
+            t0 = time.monotonic()
+            rows[name] = int(fn(spark) or 0)
+            samples.append(time.monotonic() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
+        print(
+            f"# {name}: median={timings[name]}s "
+            f"spread=[{spread[name][0]}, {spread[name][1]}] rows={rows[name]}",
+            file=sys.stderr,
+            flush=True,
+        )
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "dedup_suite_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "reps": reps,
         "sf": _sf_from_dir(sf_dir),
         "rows": rows,
         "cpus": cpus,

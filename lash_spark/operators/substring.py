@@ -100,34 +100,41 @@ def make_window_set_udf(win_len: int):
 
 
 def _lcs_length(a: bytes, b: bytes, min_len: int) -> int:
-    """Longest common substring length (>= min_len, else 0) via binary
-    search on length with rolling-hash sets; hash matches are confirmed by
-    byte comparison. Only candidate pairs that already passed the
-    window-overlap verify pay this (optional second pass)."""
-
-    def has_common(L: int) -> int:
-        if L == 0 or len(a) < L or len(b) < L:
-            return 0
-        ha = rolling_window_hashes(np.frombuffer(a, np.uint8), L)
-        hb = rolling_window_hashes(np.frombuffer(b, np.uint8), L)
-        common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
-        for x, y in zip(ia, ib):
-            if a[x : x + L] == b[y : y + L]:
-                return 1
+    """Longest common substring length (>= min_len, else 0) by
+    seed-and-extend: ONE rolling pass of length-min_len window hashes per
+    side (the same statistic the verify stage matched on), then — because
+    any common substring of length >= min_len necessarily STARTS at a
+    matching window — only diagonals (pos_a - pos_b) holding at least one
+    hash match can carry the answer. Each such diagonal is scanned once
+    with a vectorized aligned byte comparison for its longest equal run.
+    No binary search, no re-hashing at log(L) different widths; hash
+    collisions merely waste one diagonal scan (byte compare decides)."""
+    na, nb = len(a), len(b)
+    if na < min_len or nb < min_len:
         return 0
-
-    lo, hi = min_len, min(len(a), len(b))
-    if not has_common(lo):
+    ba = np.frombuffer(a, np.uint8)
+    bb = np.frombuffer(b, np.uint8)
+    ha = rolling_window_hashes(ba, min_len)
+    hb = rolling_window_hashes(bb, min_len)
+    # all matching (i, j) position pairs via sort + searchsorted
+    order = np.argsort(hb, kind="stable")
+    hbs = hb[order]
+    left = np.searchsorted(hbs, ha, side="left")
+    cnt = np.searchsorted(hbs, ha, side="right") - left
+    total = int(cnt.sum())
+    if total == 0:
         return 0
-    best = lo
-    while lo < hi:
-        mid = (lo + hi + 1) // 2
-        if has_common(mid):
-            best = mid
-            lo = mid
-        else:
-            hi = mid - 1
-    return best
+    jj = order[np.repeat(left, cnt) + (np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt))]
+    ii = np.repeat(np.arange(ha.size), cnt)
+    best = 0
+    for d in np.unique(ii.astype(np.int64) - jj.astype(np.int64)):
+        sa, sb = (int(d), 0) if d >= 0 else (0, int(-d))
+        ln = min(na - sa, nb - sb)
+        eq = (ba[sa : sa + ln] == bb[sb : sb + ln]).view(np.int8)
+        edges = np.flatnonzero(np.diff(np.concatenate(([0], eq, [0]))))
+        if edges.size:
+            best = max(best, int((edges[1::2] - edges[0::2]).max()))
+    return best if best >= min_len else 0
 
 
 def make_lcs_udf(min_len: int):
@@ -195,7 +202,7 @@ def common_substring_lengths(
     text_col: str = "norm_text",
 ) -> DataFrame:
     """Optional second pass: exact maximal common-substring length for
-    already-confirmed pairs (binary search on length, per pair)."""
+    already-confirmed pairs (seed-and-extend, one hash pass per pair)."""
     a, b = f"{id_col}_a", f"{id_col}_b"
     texts = docs.select(F.col(id_col), F.col(text_col))
     lcs = make_lcs_udf(min_len)

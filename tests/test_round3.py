@@ -9,6 +9,8 @@ import argparse
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from lash_spark.sketches import (
     fgra_constant,
@@ -194,6 +196,55 @@ def test_suffix_ranks_plan_has_no_python_rdd(spark, tiny_pages):
     assert "EvalPython" not in plan, plan
 
 
+# ------------------------------------------------ LCS seed-and-extend
+
+def _lcs_brute(a: bytes, b: bytes) -> int:
+    """O(n*m) dynamic program, ground truth for small strings."""
+    best = 0
+    prev = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        for j in range(1, len(b) + 1):
+            if a[i - 1] == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                best = max(best, cur[j])
+        prev = cur
+    return best
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_lcs_seed_extend_matches_brute_force(data):
+    """VERDICT r2 #4 done-criterion: the seed-and-extend LCS agrees with
+    ground truth — including planted shared blocks, repeated text, and
+    multiple runs on one diagonal."""
+    from lash_spark.operators.substring import _lcs_length
+
+    alphabet = "abc"
+    a = data.draw(st.text(alphabet=alphabet, min_size=0, max_size=120))
+    b = data.draw(st.text(alphabet=alphabet, min_size=0, max_size=120))
+    if data.draw(st.booleans()):  # plant a shared block at random offsets
+        block = data.draw(st.text(alphabet="xyz", min_size=8, max_size=40))
+        ia = data.draw(st.integers(0, len(a)))
+        ib = data.draw(st.integers(0, len(b)))
+        a, b = a[:ia] + block + a[ia:], b[:ib] + block + b[ib:]
+    min_len = data.draw(st.integers(2, 12))
+    ab, bb = a.encode(), b.encode()
+    truth = _lcs_brute(ab, bb)
+    got = _lcs_length(ab, bb, min_len)
+    assert got == (truth if truth >= min_len else 0), (a, b, min_len, truth, got)
+
+
+def test_lcs_two_runs_same_diagonal():
+    """Two shared blocks at the SAME diagonal with junk between: extension
+    from one seed must not shadow the longer other run."""
+    from lash_spark.operators.substring import _lcs_length
+
+    a = b"AAAAAAAA..########..BB"
+    b = b"AAAAAAAA,,########,,BB"
+    assert _lcs_length(a, b, 4) == 8
+
+
 def test_suffix_ranks_high_codepoints_no_overflow(spark):
     """Regression: codepoints >= 1024 (e.g. Cyrillic) overflowed the
     base-2^21 init packing when the small weights multiplied in 32-bit
@@ -210,6 +261,51 @@ def test_suffix_ranks_high_codepoints_no_overflow(spark):
             sufs[(uid, p)] = t[p - 1 : p - 1 + depth]
     order = {s: i for i, s in enumerate(sorted(set(sufs.values())))}
     assert got == {k: order[v] for k, v in sufs.items()}
+
+
+# ----------------------------------------------- simhash self-parity gate
+
+def test_simhash_chunk_join_matches_brute_force(spark, tiny_pages):
+    """VERDICT r2 #7: the chunk-join candidate generator's completeness
+    claim (pigeonhole: hamming <= 3 with 4 chunks guarantees a shared
+    chunk, lsh.py) machine-checked against brute-force bit_count(xor)
+    over all pairs of a bounded corpus. DuckDB can't compute simhash, so
+    engine self-parity is the right gate."""
+    from pyspark.sql import functions as F
+
+    from lash_spark.config import LshPlan, SketchParams
+    from lash_spark.operators.lsh import simhash_candidate_pairs
+    from lash_spark.operators.normalize import with_normalized_text
+    from lash_spark.operators.signatures import build_signatures
+
+    docs = with_normalized_text(tiny_pages, "text")  # 600 docs, 48 planted
+    # pairs land at hamming <= 3 on this corpus
+    sigs = build_signatures(
+        docs, SketchParams(), LshPlan.plan(128, 0.8, 0.995), id_col="url"
+    ).select("url", "simhash", "n_windows").cache()
+
+    got = {
+        (r.url_a, r.url_b, r.hamming)
+        for r in simhash_candidate_pairs(
+            sigs, id_col="url", chunks=4, max_hamming=3
+        ).collect()
+    }
+
+    s = sigs.filter(F.col("n_windows") > 0)
+    brute = (
+        s.alias("a")
+        .crossJoin(s.alias("b"))
+        .where(F.col("a.url") < F.col("b.url"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        )
+        .filter(F.col("hamming") <= 3)
+        .select(
+            F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"), "hamming"
+        )
+    )
+    want = {(r.url_a, r.url_b, r.hamming) for r in brute.collect()}
+    assert got == want and len(want) > 0
 
 
 # --------------------------------------------------- dist-time model flag
