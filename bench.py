@@ -173,19 +173,27 @@ def run_default():
     # synth_pipeline_50k runs once (it is ~45 s alone and generates its
     # own corpus; its scaling story is covered by --scaling instead).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", 3))
-    timings: dict[str, float] = {}
-    spread: dict[str, list[float]] = {}
+    # rep-MAJOR order (full sweep 1, then sweep 2, ...), not query-major:
+    # the box's throttling drifts on a tens-of-seconds timescale, so three
+    # consecutive reps of one query can all land in the same throttled
+    # window and mis-rank it against its neighbors (observed: consecutive
+    # near_dup_pairs reps 13-28 s vs 8-9.5 s when interleaved with other
+    # queries). Round-robin spreads any throttled window across the suite.
+    samples: dict[str, list[float]] = {name: [] for name, _ in queries}
     rows: dict[str, int] = {}
-    for name, fn in queries:
-        n_reps = 1 if name == "synth_pipeline_50k" else reps
-        samples = []
-        for _ in range(n_reps):
+    for rep in range(reps):
+        for name, fn in queries:
+            if name == "synth_pipeline_50k" and rep > 0:
+                continue
             t0 = time.monotonic()
             rows[name] = int(fn(spark) or 0)
-            samples.append(time.monotonic() - t0)
-        samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
-        spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
+            samples[name].append(time.monotonic() - t0)
+    timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    for name, _ in queries:
+        s = sorted(samples[name])
+        timings[name] = round(s[len(s) // 2], 3)
+        spread[name] = [round(s[0], 3), round(s[-1], 3)]
         print(
             f"# {name}: median={timings[name]}s "
             f"spread=[{spread[name][0]}, {spread[name][1]}] rows={rows[name]}",

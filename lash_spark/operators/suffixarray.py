@@ -153,21 +153,42 @@ def substring_pairs_sa(
     candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact (id_a, id_b) pairs sharing a character-identical substring of
-    length >= min_len, via suffix ranks at depth = min_len: positions with
-    equal rank share their first min_len characters exactly, so distinct doc
-    pairs within a rank group ARE the answer — no hashes, no verification
-    step. Rank groups feed the skew-tiered pair generator (a giant repeated
-    substring is precisely the hot-bucket case)."""
+    length >= min_len: positions whose first min_len characters are equal
+    form a group, and distinct doc pairs within a group ARE the answer —
+    no hashes, no verification step. Rank groups feed the skew-tiered pair
+    generator (a giant repeated substring is precisely the hot-bucket
+    case).
+
+    Pair detection needs EQUALITY groups of the min_len-prefix, not its
+    rank order, so ranks are only computed to depth ceil(min_len/2) (one
+    fewer prefix-doubling round = one fewer distinct+sort+join sweep over
+    every character position) and the group key is the composite
+    (rank[pos], rank[pos + min_len - half]): the two half-windows overlap
+    or touch, so componentwise equality is exactly full-window equality.
+    ``suffix_ranks`` itself still produces the true full-depth order for
+    maximal-repeat analyses."""
     d = docs.select(F.col(id_col), F.col(text_col))
     if candidates is not None:
         d = d.join(candidates.select(id_col).distinct(), id_col, "left_semi")
-    ranks = suffix_ranks(d, min_len, id_col=id_col, text_col=text_col)
-    # only positions with a full min_len window participate
+    half = (min_len + 1) // 2
+    shift = min_len - half
+    ranks = suffix_ranks(d, half, id_col=id_col, text_col=text_col)
+    # only positions with a full min_len window participate; both half
+    # spans then lie fully inside the text (remaining >= half at pos+shift)
     lens = d.select(F.col(id_col), F.length(text_col).alias("_len"))
     full = ranks.join(lens, id_col).filter(
         F.col("pos") <= F.col("_len") - min_len + 1
     )
-    keyed = full.select(
-        F.col(id_col), F.lit(0).alias("band_id"), F.col("sa_rank").alias("key")
-    ).distinct()
+    second = ranks.select(
+        F.col(id_col), (F.col("pos") - shift).alias("pos"), F.col("sa_rank").alias("_r2")
+    )
+    keyed = (
+        full.join(second, [id_col, "pos"])
+        .select(
+            F.col(id_col),
+            F.lit(0).alias("band_id"),
+            F.struct(F.col("sa_rank").alias("r1"), F.col("_r2").alias("r2")).alias("key"),
+        )
+        .distinct()
+    )
     return pairs_from_keys(keyed, id_col=id_col, max_bucket=max_bucket)
