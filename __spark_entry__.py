@@ -620,6 +620,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["substring_sa_bounded"] = substring_sa_bounded
 
+    # ---- train/eval decontamination: eval docs (doc_id % 5 == 1) sharing
+    # an exact >=64-char substring with any train doc (doc_id % 2 == 0) —
+    # role-ordered; a doc in both subsets pairs with itself (that IS
+    # contamination). Winnow-fingerprint cross equi-join + window-set
+    # verify; oracle is the window equi-join across the two subsets.
+    def decontamination_pairs(spark, sf_dir):
+        from lash_spark.operators.substring import cross_substring_overlap
+
+        d = _normed(spark, sf_dir)
+        return cross_substring_overlap(
+            d.filter(F.col("doc_id") % 5 == 1),
+            d.filter(F.col("doc_id") % 2 == 0),
+            min_len=64,
+            k=32,
+            id_col="doc_id",
+        )
+
+    q["decontamination_pairs"] = decontamination_pairs
+
+    # ---- Gopher/MassiveText repetition signals (word-2-gram family):
+    # per-doc mode computed WITHOUT a shuffle (sort_array + aggregate fold)
+    def repetition_stats_q(spark, sf_dir):
+        from lash_spark.operators.textstats import repetition_stats
+
+        return repetition_stats(_normed(spark, sf_dir), "norm_text").select(
+            "doc_id",
+            "n_2grams",
+            "dup_2gram_frac",
+            "top_2gram",
+            "top_2gram_count",
+            "top_2gram_char_frac",
+        )
+
+    q["repetition_stats"] = repetition_stats_q
+
     # maximal common-substring length (rows-only: LCS length is not
     # reasonably SQL-expressible; the pair SET is oracled above)
     def substring_lens(spark, sf_dir):
@@ -959,6 +994,53 @@ GROUP BY 1, 2
     # identical truth set; the SA engine is byte-exact so this parity is
     # unconditional (no hash-collision caveat)
     o["substring_dup_pairs_sa"] = o["substring_dup_pairs"]
+
+    o["decontamination_pairs"] = f"""
+WITH normed AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+wq AS (
+  SELECT DISTINCT doc_id, substr(t, i.i, 64) AS s
+  FROM normed, LATERAL (SELECT unnest(generate_series(1, len(t) - 63)) AS i) i
+  WHERE len(t) >= 64 AND doc_id % 5 = 1
+),
+wr AS (
+  SELECT DISTINCT doc_id, substr(t, i.i, 64) AS s
+  FROM normed, LATERAL (SELECT unnest(generate_series(1, len(t) - 63)) AS i) i
+  WHERE len(t) >= 64 AND doc_id % 2 = 0
+)
+SELECT q.doc_id AS doc_id_q, r.doc_id AS doc_id_r
+FROM wq q JOIN wr r ON q.s = r.s
+GROUP BY 1, 2
+"""
+
+    o["repetition_stats"] = f"""
+WITH normed AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+g AS (
+  SELECT doc_id, t,
+         CASE WHEN len(string_split(t, ' ')) >= 2 THEN
+           list_transform(generate_series(1, len(string_split(t, ' ')) - 1),
+                          i -> string_split(t, ' ')[i] || ' ' || string_split(t, ' ')[i + 1])
+         ELSE []::VARCHAR[] END AS gs
+  FROM normed
+),
+flat AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+cnts AS (SELECT doc_id, gram, count(*) AS c FROM flat GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, gram, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram DESC) AS rn
+  FROM cnts
+)
+SELECT g.doc_id,
+       len(gs) AS n_2grams,
+       round(CASE WHEN len(gs) > 0
+             THEN (len(gs) - len(list_distinct(gs))) * 1.0 / len(gs)
+             ELSE 0 END, 6) AS dup_2gram_frac,
+       coalesce(t.gram, '') AS top_2gram,
+       coalesce(t.c, 0) AS top_2gram_count,
+       round(CASE WHEN len(gs) > 0
+             THEN coalesce(t.c, 0) * len(coalesce(t.gram, '')) * 1.0 / len(g.t)
+             ELSE 0 END, 6) AS top_2gram_char_frac
+FROM g LEFT JOIN top t ON t.doc_id = g.doc_id AND t.rn = 1
+"""
 
     # bounded mode: same window join restricted to near-dup pair members
     o["substring_sa_bounded"] = _SHINGLE_PAIRS_CTE + """,

@@ -247,10 +247,15 @@ def _scaling_job(
         extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # materialize input first so generation cost is excluded from the measure
-    pages = generate_pages(spark, n_docs, seed=42, partitions=128)
-    pages.write.mode("overwrite").parquet("/tmp/lash_scaling_input")
-    docs = spark.read.parquet("/tmp/lash_scaling_input")
+    # materialize input first so generation cost is excluded from the
+    # measure; the corpus is deterministic (seed 42), so it is generated
+    # once per n_docs and reused across configs and repetitions
+    path = f"/tmp/lash_scaling_input_{n_docs}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        generate_pages(spark, n_docs, seed=42, partitions=128).write.mode(
+            "overwrite"
+        ).parquet(path)
+    docs = spark.read.parquet(path)
     t0 = time.monotonic()
     # cluster-assignment workload: degree-cap boilerplate mega-clusters so
     # pair volume is linear in corpus size (see verify_pairs docstring)
@@ -270,8 +275,8 @@ def _scaling_job(
     }
 
 
-def run_scaling(n_docs: int = 100_000):
-    """N -> 4N scaling evidence at two core pairs.
+def run_scaling(n_docs: int = 100_000, reps: int = 3):
+    """N -> 4N scaling evidence at two core pairs, median-of-``reps``.
 
     The driver instruction allows "local[8] and local[32], or N and 4N
     cores". This sandbox has ~8-12 cores' worth of memory bandwidth (see
@@ -279,19 +284,46 @@ def run_scaling(n_docs: int = 100_000):
     throughput of 8), so 8->32 is hardware-capped for any memory-streaming
     workload; 2->8 measures the engine's actual scaling behavior below the
     bandwidth ceiling. Both pairs are reported.
+
+    Reps are REP-MAJOR (sweep local[2] -> local[8] -> local[32], then
+    repeat): the box's throttling drifts on minutes-long windows, and a
+    single sweep can hand one config a throttled window and another a
+    fast one (observed: the identical local[32] job at 287 vs 685
+    docs/s in back-to-back sessions), aliasing hardware drift into the
+    efficiency ratio. Per-config median decorrelates it; all raw samples
+    are reported in BENCH/BASELINE.md.
     """
-    r2 = _scaling_job("local[2]", n_docs, shuffle_partitions=256)
-    r8 = _scaling_job("local[8]", n_docs, shuffle_partitions=256)
-    r32 = _scaling_job("local[32]", n_docs, shuffle_partitions=256, task_cpus=2)
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", reps))
+    configs = [("local[2]", 1), ("local[8]", 1), ("local[32]", 2)]
+    samples: dict[str, list[dict]] = {m: [] for m, _ in configs}
+    for _ in range(reps):
+        for master, task_cpus in configs:
+            samples[master].append(
+                _scaling_job(master, n_docs, shuffle_partitions=256, task_cpus=task_cpus)
+            )
+    # correctness cross-check: every run at every parallelism level must
+    # produce identical outputs
+    counts = {(s["dup_pairs"], s["clusters"]) for runs in samples.values() for s in runs}
+    assert len(counts) == 1, f"outputs differ across runs: {counts}"
+
+    def med(master):
+        runs = sorted(samples[master], key=lambda s: s["docs_per_sec"])
+        return runs[len(runs) // 2]
+
+    r2, r8, r32 = med("local[2]"), med("local[8]"), med("local[32]")
     eff_2_8 = (r8["docs_per_sec"] / r2["docs_per_sec"]) / 4.0
     eff_8_32 = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
     out = {
         "metric": "scaling_efficiency_N_to_4N",
         "value": round(eff_2_8, 3),
         "unit": "ratio",
+        "reps": reps,
         "n2": r2,
         "n8": r8,
         "n32": r32,
+        "samples_docs_per_sec": {
+            m: [s["docs_per_sec"] for s in runs] for m, runs in samples.items()
+        },
         "eff_2_to_8": round(eff_2_8, 3),
         "eff_8_to_32": round(eff_8_32, 3),
     }
@@ -309,17 +341,22 @@ partitioning (256). Sandbox stand-in for N vs 4N executors (driver
 instruction; no real cluster available). local[32] additionally sets
 spark.task.cpus=2 — see the profiling section for why.
 
-| config | wall (s) | docs/sec | dup_pairs | clusters |
-|---|---|---|---|---|
-| local[2]                    | {r2['wall_sec']} | {r2['docs_per_sec']} | {r2['dup_pairs']} | {r2['clusters']} |
-| local[8]                    | {r8['wall_sec']} | {r8['docs_per_sec']} | {r8['dup_pairs']} | {r8['clusters']} |
-| local[32] (task.cpus=2)     | {r32['wall_sec']} | {r32['docs_per_sec']} | {r32['dup_pairs']} | {r32['clusters']} |
+Median of {reps} rep-major sweeps (2 -> 8 -> 32, repeated; the box's
+throttling drifts on minutes-long windows, so consecutive same-config
+runs alias drift into the ratio — all raw samples shown):
+
+| config | wall (s) | docs/sec (median) | all samples (docs/sec) | dup_pairs | clusters |
+|---|---|---|---|---|---|
+| local[2]                    | {r2['wall_sec']} | {r2['docs_per_sec']} | {out['samples_docs_per_sec']['local[2]']} | {r2['dup_pairs']} | {r2['clusters']} |
+| local[8]                    | {r8['wall_sec']} | {r8['docs_per_sec']} | {out['samples_docs_per_sec']['local[8]']} | {r8['dup_pairs']} | {r8['clusters']} |
+| local[32] (task.cpus=2)     | {r32['wall_sec']} | {r32['docs_per_sec']} | {out['samples_docs_per_sec']['local[32]']} | {r32['dup_pairs']} | {r32['clusters']} |
 
 - **N=2 -> 4N=8: efficiency (tput_8 / tput_2) / 4 = {eff_2_8:.3f}** (target >= 0.8).
 - N=8 -> 4N=32: efficiency = {eff_8_32:.3f} — hardware-capped, see below.
 
-Outputs at all parallelism levels are identical (deterministic corpus +
-order-insensitive pipeline); pair/cluster counts shown as the cross-check.
+Outputs at all parallelism levels AND all repetitions are identical
+(asserted in run_scaling: deterministic corpus + order-insensitive
+pipeline); pair/cluster counts shown as the cross-check.
 
 ## Profiling the 8 -> 32 regression (round-2 pass; 100k-doc job)
 

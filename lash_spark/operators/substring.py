@@ -194,6 +194,58 @@ def exact_substring_pairs(
     )
 
 
+def cross_substring_overlap(
+    docs_q: DataFrame,
+    docs_r: DataFrame,
+    min_len: int = 256,
+    k: int = 32,
+    id_col: str = "url",
+    text_col: str = "norm_text",
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Train/eval DECONTAMINATION: ({id}_q, {id}_r) pairs where a query
+    (eval) document shares an exact substring of length >= min_len with a
+    reference (train) document — the benchmark-leakage check an LLM data
+    pipeline runs before training. Role-ordered like the near-dup
+    cross-dataset mode (a document present in both sets pairs with
+    itself: that IS contamination).
+
+    Same two-phase shape as exact_substring_pairs, crossed: winnowed
+    fingerprints are a complete candidate generator (any shared substring
+    of length >= min_len shares a selected fingerprint), candidates come
+    from the symmetric skew-tiered cross equi-join (either side's
+    boilerplate family salts), verification is the JVM `arrays_overlap`
+    window-set check. No per-pair Python."""
+    from lash_spark.operators.lsh import cross_pairs_from_keys
+
+    dq = docs_q.select(F.col(id_col), F.col(text_col))
+    dr = docs_r.select(F.col(id_col), F.col(text_col))
+    fp = make_fingerprint_udf(min_len, k)
+
+    def keys(d):
+        return (
+            d.withColumn("fp", fp(F.col(text_col)))
+            .select(F.col(id_col), F.explode("fp").alias("key"))
+            .withColumn("band_id", F.lit(0))
+        )
+
+    pairs = cross_pairs_from_keys(keys(dq), keys(dr), id_col=id_col, max_bucket=max_bucket)
+    qc, rc = f"{id_col}_q", f"{id_col}_r"
+    win = make_window_set_udf(min_len)
+    wq = dq.join(pairs.select(F.col(qc).alias(id_col)).distinct(), id_col, "left_semi").select(
+        F.col(id_col).alias(qc), win(F.col(text_col)).alias("ws_q")
+    )
+    wr = dr.join(pairs.select(F.col(rc).alias(id_col)).distinct(), id_col, "left_semi").select(
+        F.col(id_col).alias(rc), win(F.col(text_col)).alias("ws_r")
+    )
+    return (
+        pairs.join(wq, qc)
+        .join(wr, rc)
+        .filter(F.arrays_overlap("ws_q", "ws_r"))
+        .select(qc, rc)
+    )
+
+
 def common_substring_lengths(
     pairs: DataFrame,
     docs: DataFrame,

@@ -132,6 +132,80 @@ def detect_lang(text_col: str = "text") -> Column:
     return expr
 
 
+def repetition_stats(df: DataFrame, text_col: str = "norm_text") -> DataFrame:
+    """MassiveText/Gopher-style repetition signals (Rae et al. 2021,
+    App. A1 family) — the "document is mostly the same phrase over and
+    over" quality class that length/stopword rules miss. Pure Column
+    expressions (one codegen stage over the scan):
+
+    - ``n_2grams``: word-2-gram count (size(words) - 1);
+    - ``dup_2gram_frac``: fraction of 2-grams that repeat an earlier one
+      (= 1 - distinct/total);
+    - ``top_2gram`` / ``top_2gram_count``: the most frequent 2-gram
+      (count ties break to the lexicographically LARGEST gram, in both
+      engines);
+    - ``top_2gram_char_frac``: count * len(top gram) / len(text) — the
+      character mass attributable to the dominant phrase.
+
+    The per-doc mode (argmax by frequency) is computed WITHOUT a
+    shuffle: sort_array on the gram array, then one aggregate() fold
+    tracking the longest equal-run — runs in sorted order are exactly
+    the per-gram counts, and ascending traversal makes `run >= best`
+    the largest-gram tie-break."""
+    t = F.col(text_col)
+    w = _words(text_col)
+    grams = F.when(
+        F.size(w) >= 2,
+        F.expr(
+            f"transform(sequence(1, size(split({text_col}, ' ')) - 1),"
+            f" i -> concat(element_at(split({text_col}, ' '), i), ' ',"
+            f" element_at(split({text_col}, ' '), i + 1)))"
+        ),
+    ).otherwise(F.expr("array()"))
+    df = df.withColumn("_gs", grams)
+    n = F.size("_gs")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("bg"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        upd = run >= acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(upd, run).otherwise(acc["best"]).alias("best"),
+            F.when(upd, x).otherwise(acc["bg"]).alias("bg"),
+        )
+
+    top = F.aggregate(F.sort_array("_gs"), init, step)
+    return (
+        df.withColumn("n_2grams", n.cast("long"))
+        .withColumn(
+            "dup_2gram_frac",
+            F.when(
+                n > 0,
+                F.round((n - F.size(F.array_distinct("_gs"))).cast("double") / n, 6),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("top_2gram", top["bg"])
+        .withColumn("top_2gram_count", top["best"].cast("long"))
+        .withColumn(
+            "top_2gram_char_frac",
+            F.when(
+                n > 0,
+                F.round(
+                    (top["best"] * F.length(top["bg"])).cast("double") / F.length(t), 6
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_gs")
+    )
+
+
 def fingerprint(text_col: str = "norm_text") -> Column:
     """128-bit content fingerprint (md5 of normalized text) — the engine's
     document identity for exact-dup and lineage joins."""

@@ -107,6 +107,20 @@ def test_ull_union_expr_matches_kernel(spark):
     hand_a = np.array([22, 20, 12, 0, 4], dtype=np.int32)
     hand_b = np.array([21, 16, 8, 22, 4], dtype=np.int32)
     rows.append((hand_a.tolist(), hand_b.tolist(), ull_union(hand_a, hand_b).tolist()))
+    # 200 uniformly random packed registers (any (q, d1, d0) combination,
+    # including states no single sketch would produce — the merge algebra
+    # must still agree with the kernel on them)
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        ra = (
+            (rng.integers(0, 56, 8, dtype=np.int64) << 2)
+            | rng.integers(0, 4, 8, dtype=np.int64)
+        ).astype(np.int32)
+        rb = (
+            (rng.integers(0, 56, 8, dtype=np.int64) << 2)
+            | rng.integers(0, 4, 8, dtype=np.int64)
+        ).astype(np.int32)
+        rows.append((ra.tolist(), rb.tolist(), ull_union(ra, rb).tolist()))
 
     df = spark.createDataFrame(rows, "a array<int>, b array<int>, want array<int>")
     got = df.select(
@@ -306,6 +320,66 @@ def test_simhash_chunk_join_matches_brute_force(spark, tiny_pages):
     )
     want = {(r.url_a, r.url_b, r.hamming) for r in brute.collect()}
     assert got == want and len(want) > 0
+
+
+# -------------------------------------------- repetition quality signals
+
+def test_repetition_stats_values_and_tiebreak(spark):
+    from pyspark.sql import functions as F
+
+    from lash_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (1, "a b a b a b"),      # grams: ab ba ab ba ab -> top "a b" x3
+        (2, "a b c a b c"),      # ab bc ca ab bc -> tie 2/2 -> largest "b c"
+        (3, "unique words only here"),  # no repeats
+        (4, "solo"),             # no 2-grams at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, norm_text string")
+    got = {
+        r.doc_id: r
+        for r in repetition_stats(df, "norm_text")
+        .select("doc_id", "n_2grams", "dup_2gram_frac", "top_2gram",
+                "top_2gram_count", "top_2gram_char_frac")
+        .collect()
+    }
+    assert got[1].n_2grams == 5 and got[1].top_2gram == "a b" and got[1].top_2gram_count == 3
+    assert got[1].dup_2gram_frac == round(3 / 5, 6)  # 2 distinct of 5
+    assert got[1].top_2gram_char_frac == round(3 * 3 / 11, 6)
+    # count tie (a b / b c both x2) breaks to the lexicographically larger
+    assert got[2].top_2gram == "b c" and got[2].top_2gram_count == 2
+    assert got[3].dup_2gram_frac == 0.0 and got[3].top_2gram_count == 1
+    assert got[4].n_2grams == 0 and got[4].top_2gram == "" and got[4].top_2gram_count == 0
+    assert got[4].dup_2gram_frac == 0.0 and got[4].top_2gram_char_frac == 0.0
+
+
+# ------------------------------------------------ decontamination overlap
+
+def test_cross_substring_overlap_planted(spark):
+    """Eval x train exact-substring leakage: planted shared blocks,
+    including a doc present in both sets (self-pair == contamination) and
+    a short-overlap doc that must NOT match."""
+    from lash_spark.operators.substring import cross_substring_overlap
+
+    block = "#".join(str(i) for i in range(40))  # ~150 chars
+    evald = [
+        (1, "eval intro " + block + " eval outro"),
+        (2, "clean eval doc " + "x" * 200),
+        (3, "shared-in-both " + "q" * 150),
+        (4, "tiny overlap " + block[:40] + " rest is different " + "y" * 80),
+    ]
+    train = [
+        (10, "train page " + block + " train tail"),
+        (11, "other train " + "z" * 300),
+        (3, "shared-in-both " + "q" * 150),
+    ]
+    dq = spark.createDataFrame(evald, "url bigint, norm_text string")
+    dr = spark.createDataFrame(train, "url bigint, norm_text string")
+    got = {
+        (r.url_q, r.url_r)
+        for r in cross_substring_overlap(dq, dr, min_len=64, k=32, id_col="url").collect()
+    }
+    assert got == {(1, 10), (3, 3)}
 
 
 # --------------------------------------------------- dist-time model flag
