@@ -77,11 +77,58 @@ def _dense_ranks(keys: DataFrame, cols: "list[str]", out: str = "nr") -> DataFra
     return with_pid.mapInArrow(assign, out_schema)
 
 
+_ALPHA_CAP = 16384  # beyond 14-bit ranks the packed init can't beat 3 chars
+
+
+def _alphabet_compaction(d: DataFrame):
+    """Corpus-alphabet dense remap: distinct codepoints, sorted, become
+    `translate` ranks 1..A, so each character needs only
+    bit_length(A + 1) bits in the packed init word instead of the 21-bit
+    any-Unicode worst case — an ASCII-ish corpus packs 9 chars per long
+    (vs 3), saving up to two prefix-doubling rounds, each of which is a
+    full distinct+sort+join sweep over every character position. The
+    sorted-codepoint ranks preserve lexicographic order, so downstream
+    rank semantics are unchanged. Returns (translate_expr, bits) or None
+    when compaction can't help (alphabet > _ALPHA_CAP) or isn't safe
+    (supplementary codepoints occupy two UTF-16 units, which `translate`
+    does not remap atomically). Costs one distinct-chars sweep — a tiny
+    shuffle after map-side partial aggregation."""
+    cps = (
+        d.select(
+            F.explode(
+                # per-doc array_distinct first: the explode emits one row
+                # per distinct char per doc (~alphabet size), not one per
+                # character position
+                F.expr(
+                    "array_distinct(transform(sequence(1, length(_t)),"
+                    " i -> ascii(substring(_t, i, 1))))"
+                )
+            ).alias("cp")
+        )
+        .distinct()
+        .sort("cp")
+        .limit(_ALPHA_CAP + 1)
+    )
+    rows = [r["cp"] for r in cps.collect()]
+    # rows[0] < 1 means NUL (or an empty-text artifact): codepoint 0 would
+    # collide with the past-the-end sentinel, so decline and let the
+    # generic +1-shifted packing handle it
+    if not rows or len(rows) > _ALPHA_CAP or rows[-1] > 0xFFFF or rows[0] < 1:
+        return None
+    bits = (len(rows) + 1).bit_length()  # values are rank+1 in 2..A+1, 0 sentinel
+    if 63 // bits <= 3:
+        return None
+    src = "".join(chr(c) for c in rows)
+    dst = "".join(chr(i + 1) for i in range(len(rows)))
+    return F.translate(F.col("_t"), src, dst), bits
+
+
 def suffix_ranks(
     docs: DataFrame,
     depth: int,
     id_col: str = "url",
     text_col: str = "norm_text",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(id, pos, sa_rank) for every character position: sa_rank is the dense
     lexicographic rank of the suffix truncated to ``depth`` characters
@@ -89,15 +136,24 @@ def suffix_ranks(
     characters remaining compare with an end sentinel (-1) that sorts low,
     matching ordinary suffix order for the truncated view."""
     d = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-    # initial rank = 3 characters packed base-2^21 (codepoint+1; 0 =
-    # past-the-end sentinel, so shorter suffixes sort first). 2^21 >
-    # 0x110000 covers every Unicode codepoint, so the packing is injective
-    # for arbitrary text (3 * 21 = 63 bits fits a signed long exactly) —
-    # order-preserving, character-exact, and saves doubling rounds vs
-    # single-char init. Units are CODEPOINTS, matching SQL substr semantics
-    # (== bytes on ASCII corpora).
-    init = min(3, depth)
-    weights = [(1 << 21) ** (init - 1 - j) for j in range(init)]
+    # initial rank = as many characters as fit one signed long, packed in a
+    # base-2^width positional code (codepoint-rank+1; 0 = past-the-end
+    # sentinel, so shorter suffixes sort first) — order-preserving,
+    # character-exact, and each extra init char saves doubling rounds.
+    # Preferred path: alphabet compaction (width = bits of the corpus
+    # alphabet size, e.g. 7 for ASCII -> 9 chars/long). Fallback for huge /
+    # non-BMP alphabets: width 21 (> 0x110000 covers every codepoint,
+    # 3 * 21 = 63 bits). Units are CODEPOINTS, matching SQL substr
+    # semantics (== bytes on ASCII corpora).
+    compact = _alphabet_compaction(d) if depth > 3 else None
+    if compact is not None:
+        remap, width = compact
+        d = d.withColumn("_t", remap)
+        init = min(depth, 63 // width)
+    else:
+        width = 21
+        init = min(3, depth)
+    weights = [(1 << width) ** (init - 1 - j) for j in range(init)]
     # weights that fit an int (2^21, 1) would otherwise multiply in 32-bit
     # and overflow for codepoints >= 1024 under ANSI mode — force BIGINT
     terms = " + ".join(
@@ -139,9 +195,71 @@ def suffix_ranks(
         )
         k += step
         # localCheckpoint per round: truncates the growing join lineage the
-        # same way the union-find loop does (O(log depth) rounds total)
-        r = r.localCheckpoint(eager=False)
+        # same way the union-find loop does (O(log depth) rounds total).
+        # checkpoint=False exists for the plan audit, which needs the
+        # un-truncated DAG (a checkpoint scan hides upstream operators).
+        if checkpoint:
+            r = r.localCheckpoint(eager=False)
     return r.select(F.col("_id").alias(id_col), "pos", F.col("r").alias("sa_rank"))
+
+
+_MAX_PACKED_WORDS = 8  # widest composite window key: 8 longs = 64 bytes
+
+
+def _packed_window_keys(d: DataFrame, min_len: int) -> DataFrame | None:
+    """Zero-round window keying, unlocked by alphabet compaction: with the
+    corpus alphabet dense-remapped to ``bits`` bits per char, one signed
+    long packs w = 63 // bits characters, so the full min_len window is
+    captured EXACTLY by ceil(min_len / w) packed words whose windows tile
+    [pos, pos + min_len). Struct equality of those words ⇔ character
+    equality of the window — injective packing, no hashes — so pair
+    detection needs NO prefix-doubling rounds at all: one position explode
+    + one distinct replaces 2-4 full distinct+sort+join sweeps over every
+    character position (the shuffle is one pass at ≤64 B/key instead of
+    several at 16-24 B). Returns (_id, key) rows or None when compaction
+    is unavailable or the key would exceed _MAX_PACKED_WORDS words (huge
+    alphabets fall back to the rank-composite path).
+
+    ``d`` must have columns (_id, _t)."""
+    compact = _alphabet_compaction(d)
+    if compact is None:
+        return None
+    remap, bits = compact
+    w = min(63 // bits, min_len)
+    n_words = -(-min_len // w)
+    if n_words > _MAX_PACKED_WORDS:
+        return None
+    # word i covers [o_i, o_i + w); offsets clamp so the last word ends at
+    # exactly min_len (overlap is fine: union coverage is what matters)
+    offsets = [min(i * w, min_len - w) for i in range(n_words)]
+    d2 = d.withColumn("_t", remap).withColumn(
+        "_bp",
+        F.expr(
+            "transform(sequence(1, length(_t)), i -> ascii(substring(_t, i, 1)) + 1)"
+        ),
+    )
+    weights = [(1 << bits) ** (w - 1 - j) for j in range(w)]
+
+    def word(start: str) -> str:
+        return " + ".join(
+            f"element_at(_bp, {start} + {j}) * CAST({wt} AS BIGINT)"
+            for j, wt in enumerate(weights)
+        )
+
+    fields = ", ".join(f"'k{i}', {word(f'(p + {o})')}" for i, o in enumerate(offsets))
+    # docs shorter than min_len contribute no positions (explicit branch:
+    # sequence(1, n) with n <= 0 would count DOWN, not produce empty)
+    return d2.select(
+        "_id",
+        F.explode(
+            F.expr(
+                f"if(length(_t) < {min_len}, "
+                f"array(), "
+                f"transform(sequence(1, length(_t) - {min_len} + 1), "
+                f"p -> named_struct({fields})))"
+            )
+        ).alias("key"),
+    )
 
 
 def substring_pairs_sa(
@@ -160,16 +278,36 @@ def substring_pairs_sa(
     case).
 
     Pair detection needs EQUALITY groups of the min_len-prefix, not its
-    rank order, so ranks are only computed to depth ceil(min_len/2) (one
-    fewer prefix-doubling round = one fewer distinct+sort+join sweep over
-    every character position) and the group key is the composite
-    (rank[pos], rank[pos + min_len - half]): the two half-windows overlap
-    or touch, so componentwise equality is exactly full-window equality.
-    ``suffix_ranks`` itself still produces the true full-depth order for
-    maximal-repeat analyses."""
+    rank order, so two strategies cheaper than full-depth ranking apply,
+    both exact:
+
+    1. **Packed-window keying** (preferred; `_packed_window_keys`): when
+       alphabet compaction holds, the whole min_len window packs into
+       ≤ 8 longs used directly as the group key — zero doubling rounds,
+       one position shuffle total.
+    2. **Half-depth rank composite** (fallback for huge/non-BMP
+       alphabets): ranks to depth ceil(min_len/2) (one fewer doubling
+       round) with group key (rank[pos], rank[pos + min_len - half]) —
+       the half-windows tile the full window, so componentwise equality
+       is exactly full-window equality.
+
+    ``suffix_ranks`` itself still produces the true full-depth
+    lexicographic order for maximal-repeat analyses."""
     d = docs.select(F.col(id_col), F.col(text_col))
     if candidates is not None:
         d = d.join(candidates.select(id_col).distinct(), id_col, "left_semi")
+    packed = _packed_window_keys(
+        d.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")), min_len
+    )
+    if packed is not None:
+        keyed = (
+            packed.select(
+                F.col("_id").alias(id_col),
+                F.lit(0).alias("band_id"),
+                F.col("key"),
+            ).distinct()
+        )
+        return pairs_from_keys(keyed, id_col=id_col, max_bucket=max_bucket)
     half = (min_len + 1) // 2
     shift = min_len - half
     ranks = suffix_ranks(d, half, id_col=id_col, text_col=text_col)

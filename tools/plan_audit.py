@@ -110,6 +110,44 @@ def main():
     p4 = plan_of(topk)
     check("ann.query_side_broadcast", "BroadcastExchange" in p4)
 
+    # ---- suffix-array pass (r3): candidate keying is equi-join shaped
+    # and the DAG never leaves the JVM/Arrow lane (no row-at-a-time
+    # Python eval; the dense-ranker is MapInArrow over checkpoint scans)
+    from lash_spark.operators.suffixarray import suffix_ranks
+
+    sr = suffix_ranks(
+        normed.select("doc_id", "norm_text").limit(50), 8,
+        id_col="doc_id", text_col="norm_text", checkpoint=False,
+    )
+    p5 = sr._jdf.queryExecution().executedPlan().toString()
+    check("suffix.no_python_eval", "EvalPython" not in p5)
+    check("suffix.arrow_rank_assign", "MapInArrow" in p5)
+
+    # ---- repetition stats (r3): single codegen stage, no shuffle, no UDF
+    from lash_spark.operators.textstats import repetition_stats
+
+    rep = repetition_stats(normed.select("doc_id", "norm_text"), "norm_text")
+    p6 = plan_of(rep)
+    check(
+        "repetition.map_only_no_udf",
+        "Exchange" not in p6 and "EvalPython" not in p6 and "HashAggregate" not in p6,
+    )
+
+    # ---- decontamination (r3): cross candidates are equi-joins (no
+    # cartesian), verify stays JVM-side after the window-set UDF stage
+    from lash_spark.operators.substring import cross_substring_overlap
+
+    dec = cross_substring_overlap(
+        normed.filter(F.col("doc_id") % 5 == 1).select("doc_id", "norm_text"),
+        normed.filter(F.col("doc_id") % 2 == 0).select("doc_id", "norm_text"),
+        min_len=64, k=32, id_col="doc_id",
+    )
+    p7 = plan_of(dec)
+    check(
+        "decontaminate.no_cartesian",
+        "CartesianProduct" not in p7 and "BroadcastNestedLoopJoin" not in p7,
+    )
+
     print()
     print("=" * 70)
     print("signatures plan (head):")
