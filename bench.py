@@ -132,6 +132,25 @@ def _build_queries(sf_dir: str):
             emb, emb.filter(F.col("vec_id") < 20), k=10, n_lists=16, n_probe=4
         ).count()
 
+    # ivf_topk times the one-shot call (index build dominates at bench
+    # scale); ivf_probe times the amortized per-batch cost — the index is
+    # built+persisted on the first rep only, so the median over 3 reps
+    # reflects probe-only latency, which is what repeated-query-batch
+    # usage (the real IVF use case) pays.
+    _ivf_idx: dict = {}
+
+    def q_ivf_probe(spark):
+        from lash_spark.operators.ann import ivf_fit, ivf_probe
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        if not _ivf_idx:
+            idx = ivf_fit(emb, n_lists=16)
+            idx.assigned.persist().count()
+            _ivf_idx["idx"] = idx
+        return ivf_probe(
+            _ivf_idx["idx"], emb.filter(F.col("vec_id") < 20), k=10, n_probe=4
+        ).count()
+
     return [
         ("signatures", q_signatures),
         ("near_dup_pairs", q_near_dup_pairs),
@@ -144,6 +163,7 @@ def _build_queries(sf_dir: str):
         ("cross_dataset_pairs", q_cross_dataset),
         ("quality_filter", q_quality_filter),
         ("ivf_topk", q_ivf_topk),
+        ("ivf_probe", q_ivf_probe),
         ("synth_pipeline_50k", q_synth_pipeline_50k),
     ]
 

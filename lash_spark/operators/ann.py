@@ -14,6 +14,8 @@ the corpus side. Hyperplane projections are a one-pass pandas UDF (Arrow).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -162,47 +164,67 @@ def embedding_near_dup_pairs(
     )
 
 
-def ivf_topk(
+def _unit_expr(col):
+    # L2-normalize so KMeans cells + centroid L2 probing are consistent
+    # with the cosine ranking metric (on the unit sphere, L2 distance is
+    # monotone in cosine); ranking still uses the original vectors.
+    n = norm_expr(col)
+    return F.when(n > 0, F.transform(col, lambda x: x / n)).otherwise(col)
+
+
+@dataclass(frozen=True)
+class IvfIndex:
+    """Fitted inverted-file index: the cell-assigned corpus plus the tiny
+    centroid table. Build once with :func:`ivf_fit`, reuse across query
+    batches with :func:`ivf_probe` — index build is the expensive phase
+    (KMeans fit + one full-corpus assignment pass) and amortizes exactly
+    like a FAISS IVF index does; persist ``assigned`` when probing more
+    than once."""
+
+    assigned: DataFrame  # (item_id, cv, cell)
+    centroids: DataFrame  # (cell, centroid) — n_lists rows
+    n_lists: int
+
+
+def ivf_fit(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_lists: int = 16,
-    n_probe: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    cosine_round: int | None = None,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k — the classic scale path for
-    ANN: k-means partitions the corpus into ``n_lists`` cells; each query
-    scores only the ``n_probe`` cells whose centroids are nearest, touching
-    ~n_probe/n_lists of the corpus instead of all of it.
-
-    Spark shape: centroid training is one MLlib KMeans fit (distributed);
-    cell assignment is a map; the probe is an equi-join on cell id, so the
-    per-query work is bounded and the corpus is never broadcast. With
-    ``n_probe == n_lists`` results are exactly brute force (used by the
-    correctness oracle); recall at n_probe < n_lists is the standard IVF
-    trade-off."""
+    train_per_list: int = 256,
+) -> IvfIndex:
+    """Build the IVF index: centroid training is one MLlib KMeans fit run
+    on a bounded sample of ``train_per_list * n_lists`` vectors coalesced
+    to a few partitions — the standard IVF practice (centroid quality
+    saturates at a few hundred points per cell, and fitting on the full
+    corpus would make every KMeans iteration a full-corpus distributed
+    job); cell assignment of the FULL corpus is one map pass."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
-
-    def _unit(col):
-        # L2-normalize so KMeans cells + centroid L2 probing are consistent
-        # with the cosine ranking metric (on the unit sphere, L2 distance is
-        # monotone in cosine); ranking still uses the original vectors.
-        n = norm_expr(col)
-        return F.when(n > 0, F.transform(col, lambda x: x / n)).otherwise(col)
-
     c = corpus.select(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("cu", _unit(F.col("cv")))
-    train = c.withColumn("features", array_to_vector("cu"))
-    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
-    assigned = model.transform(train).select(
+    ).withColumn("cu", _unit_expr(F.col("cv")))
+    full = c.withColumn("features", array_to_vector("cu"))
+    cap = max(train_per_list * n_lists, n_lists)
+    n = full.count()
+    if n > cap:
+        # deterministic seeded sample (not limit(): head-of-table bias),
+        # with headroom so the sample rarely lands under n_lists points
+        frac = min(1.0, 1.25 * cap / n)
+        train = full.sample(fraction=frac, seed=seed)
+    else:
+        train = full
+    # the train side is <= ~1.25 * cap rows either way: coalesce so each of
+    # KMeans's ~maxIter iteration jobs is a handful of tasks, not one per
+    # corpus partition
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(
+        train.coalesce(8)
+    )
+    assigned = model.transform(full).select(
         "item_id", "cv", F.col("prediction").alias("cell")
     )
     # centroid table is tiny (n_lists rows) — broadcast to score query->cell
@@ -210,10 +232,30 @@ def ivf_topk(
         [(i, [float(x) for x in v]) for i, v in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
     )
+    return IvfIndex(assigned=assigned, centroids=cent, n_lists=n_lists)
+
+
+def ivf_probe(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_round: int | None = None,
+) -> DataFrame:
+    """Probe a fitted :class:`IvfIndex`: each query scores only the
+    ``n_probe`` cells whose centroids are nearest, touching
+    ~n_probe/n_lists of the corpus instead of all of it. The probe is an
+    equi-join on cell id, so per-query work is bounded and the corpus is
+    never broadcast. With ``n_probe == n_lists`` results are exactly brute
+    force regardless of centroid quality (used by the correctness oracle);
+    recall at n_probe < n_lists is the standard IVF trade-off."""
+    cent = index.centroids
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("qu", _unit(F.col("qv")))
+    ).withColumn("qu", _unit_expr(F.col("qv")))
     l2 = F.sqrt(
         F.aggregate(
             F.zip_with("qu", "centroid", lambda x, y: (x - y) * (x - y)),
@@ -233,10 +275,45 @@ def ivf_topk(
     if cosine_round is not None:  # round-before-rank for oracle-stable order
         cos = F.round(cos, cosine_round)
     scored = (
-        assigned.join(probes, "cell")
+        index.assigned.join(probes, "cell")
         .filter(F.col("query_id") != F.col("item_id"))
         .withColumn("cosine", cos)
         .select("query_id", "item_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_round: int | None = None,
+    train_per_list: int = 256,
+) -> DataFrame:
+    """One-shot IVF top-k: :func:`ivf_fit` + :func:`ivf_probe`. For
+    repeated query batches against the same corpus, fit once and reuse the
+    :class:`IvfIndex` instead — the fit (KMeans + full-corpus assignment)
+    dominates this call's cost at small scale."""
+    index = ivf_fit(
+        corpus,
+        n_lists=n_lists,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        train_per_list=train_per_list,
+    )
+    return ivf_probe(
+        index,
+        queries,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        cosine_round=cosine_round,
+    )

@@ -370,6 +370,40 @@ def test_suffix_ranks_non_bmp_uses_fallback(spark):
     assert got == {k: order[v] for k, v in sufs.items()}
 
 
+# ---------------------------------------------------- IVF fit/probe split
+
+def test_ivf_index_reuse_matches_one_shot(spark):
+    """ivf_fit + repeated ivf_probe (the amortized real-world usage) must
+    return exactly what the one-shot ivf_topk returns for each batch."""
+    import numpy as np
+
+    from lash_spark.operators.ann import ivf_fit, ivf_probe, ivf_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((5, 12)) * 3
+    vecs = [
+        (i, (centers[i % 5] + rng.standard_normal(12) * 0.3).tolist())
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    idx = ivf_fit(df, n_lists=5, seed=42)
+    idx.assigned.persist()
+    try:
+        for lo, hi in ((0, 4), (4, 8)):
+            q = df.filter((df.vec_id >= lo) & (df.vec_id < hi))
+            got = {
+                (r.query_id, r.rank, r.item_id)
+                for r in ivf_probe(idx, q, k=4, n_probe=5).collect()
+            }
+            want = {
+                (r.query_id, r.rank, r.item_id)
+                for r in ivf_topk(df, q, k=4, n_lists=5, n_probe=5, seed=42).collect()
+            }
+            assert got == want and len(got) == 4 * (hi - lo)
+    finally:
+        idx.assigned.unpersist()
+
+
 # ----------------------------------------------- simhash self-parity gate
 
 def test_simhash_chunk_join_matches_brute_force(spark, tiny_pages):
