@@ -655,6 +655,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_stats"] = repetition_stats_q
 
+    # ---- most-duplicated exact windows (maximal-repeat-style analysis on
+    # the suffix machinery): every 64-char window in >= 2 distinct docs,
+    # top 20 by (n_docs, n_occ, window) — a total order, so the LIMIT set
+    # is deterministic and oracle-comparable
+    def repeated_window_counts(spark, sf_dir):
+        from lash_spark.operators.suffixarray import repeated_windows
+
+        return repeated_windows(
+            _normed(spark, sf_dir), window=64, id_col="doc_id", top_n=20
+        )
+
+    q["repeated_window_counts"] = repeated_window_counts
+
+    # ---- true lexicographic suffix order (the SA operator itself, not
+    # just its pair-detection use): dense corpus-global rank of every
+    # depth-32-truncated suffix over a 50-doc subset. Oracle: DuckDB
+    # dense_rank() over the substr-truncated suffixes — shorter suffixes
+    # sort before longer ones sharing a prefix in both engines.
+    def suffix_rank_order(spark, sf_dir):
+        from lash_spark.operators.suffixarray import suffix_ranks
+
+        d = _normed(spark, sf_dir).filter(F.col("doc_id") < 50)
+        return suffix_ranks(d, 32, id_col="doc_id", text_col="norm_text")
+
+    q["suffix_rank_order"] = suffix_rank_order
+
     # maximal common-substring length (rows-only: LCS length is not
     # reasonably SQL-expressible; the pair SET is oracled above)
     def substring_lens(spark, sf_dir):
@@ -994,6 +1020,29 @@ GROUP BY 1, 2
     # identical truth set; the SA engine is byte-exact so this parity is
     # unconditional (no hash-collision caveat)
     o["substring_dup_pairs_sa"] = o["substring_dup_pairs"]
+
+    o["suffix_rank_order"] = f"""
+WITH normed AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE doc_id < 50),
+s AS (
+  SELECT doc_id, i.i AS pos, substr(t, i.i, 32) AS suf
+  FROM normed, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) i
+  WHERE len(t) >= 1
+)
+SELECT doc_id, pos, dense_rank() OVER (ORDER BY suf) - 1 AS sa_rank FROM s
+"""
+
+    o["repeated_window_counts"] = f"""
+WITH normed AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+w AS (
+  SELECT doc_id, substr(t, i.i, 64) AS s
+  FROM normed, LATERAL (SELECT unnest(generate_series(1, len(t) - 63)) AS i) i
+  WHERE len(t) >= 64
+)
+SELECT s AS window, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+FROM w GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occ DESC, s ASC
+LIMIT 20
+"""
 
     o["decontamination_pairs"] = f"""
 WITH normed AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),

@@ -220,7 +220,8 @@ def _packed_window_keys(d: DataFrame, min_len: int) -> DataFrame | None:
     is unavailable or the key would exceed _MAX_PACKED_WORDS words (huge
     alphabets fall back to the rank-composite path).
 
-    ``d`` must have columns (_id, _t)."""
+    ``d`` must have columns (_id, _t); rows are (_id, pos, key), pos
+    1-based."""
     compact = _alphabet_compaction(d)
     if compact is None:
         return None
@@ -251,15 +252,15 @@ def _packed_window_keys(d: DataFrame, min_len: int) -> DataFrame | None:
     # sequence(1, n) with n <= 0 would count DOWN, not produce empty)
     return d2.select(
         "_id",
-        F.explode(
+        F.posexplode(
             F.expr(
                 f"if(length(_t) < {min_len}, "
                 f"array(), "
                 f"transform(sequence(1, length(_t) - {min_len} + 1), "
                 f"p -> named_struct({fields})))"
             )
-        ).alias("key"),
-    )
+        ).alias("_p0", "key"),
+    ).select("_id", (F.col("_p0") + 1).alias("pos"), "key")
 
 
 def substring_pairs_sa(
@@ -296,7 +297,7 @@ def substring_pairs_sa(
     d = docs.select(F.col(id_col), F.col(text_col))
     if candidates is not None:
         d = d.join(candidates.select(id_col).distinct(), id_col, "left_semi")
-    packed = _packed_window_keys(
+    packed = _packed_window_keys(  # (_id, pos, key); pos unused for pairs
         d.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")), min_len
     )
     if packed is not None:
@@ -330,3 +331,62 @@ def substring_pairs_sa(
         .distinct()
     )
     return pairs_from_keys(keyed, id_col=id_col, max_bucket=max_bucket)
+
+
+def repeated_windows(
+    docs: DataFrame,
+    window: int = 64,
+    id_col: str = "url",
+    text_col: str = "norm_text",
+    top_n: int = 20,
+) -> DataFrame:
+    """Most-duplicated exact windows — the maximal-repeat-style analysis
+    the suffix machinery exists for (Lee et al. 2022 report duplicated
+    spans, not just doc pairs): every length-``window`` character window
+    appearing in >= 2 distinct docs, with distinct-doc and total-occurrence
+    counts plus the window text, top ``top_n`` by
+    (n_docs desc, n_occ desc, window asc) — a total order, so the result
+    set is deterministic.
+
+    Shape: window keys via the zero-round packed keying when the alphabet
+    compacts (raw-substring keys otherwise — exact either way), one
+    groupBy(key) with a min-(id,pos) representative, then text recovery
+    for the tiny surviving group set via an equi-join back to the corpus
+    (broadcast-sized: only windows duplicated ACROSS docs survive the
+    HAVING filter)."""
+    d = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    keys = _packed_window_keys(d, window)
+    if keys is None:
+        # huge/non-BMP alphabet: key on the raw substring (wider shuffle
+        # key, same exact semantics)
+        keys = d.select(
+            "_id",
+            F.posexplode(
+                F.expr(
+                    f"if(length(_t) < {window}, array(), "
+                    f"transform(sequence(1, length(_t) - {window} + 1), "
+                    f"p -> substring(_t, p, {window})))"
+                )
+            ).alias("_p0", "key"),
+        ).select("_id", (F.col("_p0") + 1).alias("pos"), "key")
+    groups = (
+        keys.groupBy("key")
+        .agg(
+            F.countDistinct("_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct(F.col("_id").alias("i"), F.col("pos").alias("p"))).alias("rep"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    recovered = (
+        groups.join(d, groups["rep.i"] == d["_id"])
+        .select(
+            F.expr(f"substring(_t, rep.p, {window})").alias("window"),
+            "n_docs",
+            "n_occ",
+        )
+    )
+    return (
+        recovered.orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("window"))
+        .limit(top_n)
+    )

@@ -370,6 +370,44 @@ def test_suffix_ranks_non_bmp_uses_fallback(spark):
     assert got == {k: order[v] for k, v in sufs.items()}
 
 
+def test_repeated_windows_counts_and_order(spark):
+    """Python ground truth for the most-duplicated-window analysis: doc
+    and occurrence counts per window, ordered by
+    (n_docs desc, n_occ desc, window asc)."""
+    from collections import defaultdict
+
+    from lash_spark.operators.suffixarray import repeated_windows
+
+    block = "shared-" * 12  # 84 chars, period 7: 7 phase classes of windows
+    rows = [
+        (1, "aaa " + block + " tail one"),
+        (2, "bbb " + block + " tail two"),
+        (3, "ccc " + block + " and " + block),
+        (4, "unique text " + "z" * 100),
+    ]
+    W = 64
+    per_win_docs, per_win_occ = defaultdict(set), defaultdict(int)
+    for uid, t in rows:
+        for p in range(len(t) - W + 1):
+            w = t[p : p + W]
+            per_win_docs[w].add(uid)
+            per_win_occ[w] += 1
+    want = sorted(
+        (
+            (w, len(ds), per_win_occ[w])
+            for w, ds in per_win_docs.items()
+            if len(ds) >= 2
+        ),
+        key=lambda r: (-r[1], -r[2], r[0]),
+    )[:5]
+    df = spark.createDataFrame(rows, "url bigint, norm_text string")
+    got = [
+        (r.window, r.n_docs, r.n_occ)
+        for r in repeated_windows(df, window=W, id_col="url", top_n=5).collect()
+    ]
+    assert got == want
+
+
 # ---------------------------------------------------- IVF fit/probe split
 
 def test_ivf_index_reuse_matches_one_shot(spark):
