@@ -146,3 +146,101 @@ def stream_exact_dedup(
     return keyed.groupBy("fp").applyInPandasWithState(
         dedup_fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_near_dup(
+    pages_stream: DataFrame,
+    catalog: ParquetCatalog,
+    params: SketchParams | None = None,
+    id_col: str = "url",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Streaming NEAR-duplicate detection: each micro-batch emits
+    (a) batch-internal near-dup pairs (triangular LSH + verify) and
+    (b) pairs between the batch and ALL previously ingested documents
+    (the two-dataset cross mode against the accumulated ``stream_docs``
+    store), then appends the batch to the store. Pairs accumulate in
+    ``stream_dup_pairs`` as canonical (id_a < id_b, jaccard, batch_id).
+
+    Prefix-closure property (tested): streaming over batches B1..Bn yields
+    exactly the pair set of the batch triangular pass over their union —
+    a cross-batch pair (x in Bi, y in Bj, i < j) is found when Bj probes
+    the store, through the SAME signature/candidate/verify stages.
+
+    Replay safety uses the pessimistic-guard pattern of stream_signatures,
+    with a two-step append protocol: pairs are appended BEFORE docs, and on
+    a guarded (post-failure/restart) invocation both the batch (vs
+    ``stream_docs``) and the recomputed pairs (vs ``stream_dup_pairs``)
+    are anti-joined — so a crash between the two appends re-runs the batch
+    without duplicating pairs, and a crash after both no-ops.
+
+    At scale the store probe is the cross-dataset join: batch band keys
+    against the store's, skew-salted both sides — per-batch cost scales
+    with batch x matching-band volume, not with |store| (the store-side
+    signature build IS O(|store|) per batch here; a production deployment
+    persists store signatures incrementally via stream_signatures and
+    feeds them to the cross candidate stage directly)."""
+    from pyspark.sql import functions as F
+
+    from lash_spark.pipeline import cross_dataset_pairs
+
+    params = params or SketchParams()
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    guard = {"pending": True}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        need_guard = guard["pending"]
+        guard["pending"] = True  # stays set if anything below raises
+        batch = batch_df.select(id_col, text_col)
+        have_store = catalog.exists("stream_docs")
+        if need_guard and have_store:
+            batch = batch.join(
+                catalog.read("stream_docs").select(id_col), id_col, "left_anti"
+            )
+        batch = batch.localCheckpoint()  # consumed by 2 pair joins + append
+        if batch.isEmpty():
+            guard["pending"] = False
+            return
+        pairs = cross_dataset_pairs(
+            batch, batch, params, id_col=id_col, text_col=text_col,
+            threshold=threshold, same_files=True,
+        )
+        if have_store:
+            hist = catalog.read("stream_docs")
+            cross = cross_dataset_pairs(
+                batch, hist, params, id_col=id_col, text_col=text_col,
+                threshold=threshold,
+            )
+            qc, rc = F.col(f"{id_col}_q"), F.col(f"{id_col}_r")
+            pairs = pairs.unionByName(
+                cross.select(
+                    F.least(qc, rc).alias(a),
+                    F.greatest(qc, rc).alias(b),
+                    "jaccard",
+                )
+            )
+        pairs = pairs.withColumn("batch_id", F.lit(batch_id).cast("long"))
+        if need_guard and catalog.exists("stream_dup_pairs"):
+            pairs = pairs.join(
+                catalog.read("stream_dup_pairs").select(a, b), [a, b], "left_anti"
+            )
+        catalog.append(pairs, "stream_dup_pairs")
+        catalog.append(batch, "stream_docs")
+        catalog.log_metrics(
+            f"stream_near_dup_batch_{batch_id}",
+            params.params_hash(),
+            wall_ms=0.0,
+            output_rows=None,
+            status="complete",
+        )
+        guard["pending"] = False
+
+    writer = pages_stream.writeStream.foreachBatch(process).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -3,6 +3,8 @@ match the batch-built signatures exactly (one code path)."""
 
 from __future__ import annotations
 
+import pytest
+
 from lash_spark.config import LshPlan, SketchParams
 from lash_spark.lakeio import ParquetCatalog
 from lash_spark.operators.normalize import with_normalized_text
@@ -118,3 +120,84 @@ def test_stream_signatures_honors_normalize_version(spark, tmp_path):
     assert got.exceptAll(batch_v2).isEmpty() and batch_v2.exceptAll(got).isEmpty()
     # and v1 vs v2 genuinely differ on this corpus (the test has teeth)
     assert not batch_v1.exceptAll(batch_v2).isEmpty()
+
+
+def test_stream_near_dup_prefix_closure(spark, tmp_path):
+    """Streaming near-dup over 3 drops == the batch triangular pass over
+    their union (same signature/candidate/verify machinery), and a second
+    availableNow run over the same source is a no-op (replay safety)."""
+    from pyspark.sql import functions as F
+
+    from lash_spark.pipeline import cross_dataset_pairs
+    from lash_spark.streaming import stream_near_dup
+
+    pages = generate_pages(spark, 200, seed=42, partitions=4)
+    src = str(tmp_path / "src")
+    pages.filter("planted_cluster % 3 = 0").write.parquet(f"{src}/d0")
+    pages.filter("planted_cluster % 3 = 1").write.parquet(f"{src}/d1")
+    pages.filter("planted_cluster % 3 = 2").write.parquet(f"{src}/d2")
+    schema = pages.schema
+    params = SketchParams()
+
+    cat = ParquetCatalog(spark, str(tmp_path / "cat"))
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = stream_near_dup(
+            stream, cat, params,
+            checkpoint_dir=str(tmp_path / ckpt), trigger_once=True,
+        )
+        q.awaitTermination(300)
+
+    run("ckpt")
+    got = cat.read("stream_dup_pairs")
+    want = cross_dataset_pairs(pages, pages, params, same_files=True)
+    got_set = {(r.url_a, r.url_b, round(r.jaccard, 9)) for r in got.collect()}
+    want_set = {(r.url_a, r.url_b, round(r.jaccard, 9)) for r in want.collect()}
+    assert got_set == want_set and len(got_set) > 0
+    assert cat.read("stream_docs").count() == pages.count()
+
+    # crash-window replay (the scenario the guard is FOR): the pairs
+    # append commits but the docs append crashes, the stream dies, and the
+    # restarted stream re-runs that batch — the guarded anti-joins must
+    # land exactly the missing docs without duplicating the pairs
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "cat"))
+    cat2 = ParquetCatalog(spark, str(tmp_path / "cat"))
+    orig_append = cat2.append
+    boom = {"armed": True}
+
+    def flaky_append(df, table):
+        if table == "stream_docs" and boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected crash between pairs and docs appends")
+        return orig_append(df, table)
+
+    cat2.append = flaky_append
+
+    def run2(ckpt: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = stream_near_dup(
+            stream, cat2, params,
+            checkpoint_dir=str(tmp_path / ckpt), trigger_once=True,
+        )
+        q.awaitTermination(300)
+
+    with pytest.raises(Exception):
+        run2("ckpt2")  # dies mid-batch: pairs of batch 0 written, docs not
+    run2("ckpt2")  # same checkpoint: failed batch re-runs under the guard
+    got2 = {
+        (r.url_a, r.url_b, round(r.jaccard, 9))
+        for r in cat2.read("stream_dup_pairs").collect()
+    }
+    assert got2 == want_set
+    assert cat2.read("stream_docs").count() == pages.count()
