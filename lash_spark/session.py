@@ -18,13 +18,18 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    master = master or f"local[{cores}]"
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # Under spark-submit the launcher already created the JVM gateway
+        # (PYSPARK_GATEWAY_PORT) carrying the submit conf, including
+        # spark.master (yarn / k8s / standalone) — setting .master() here
+        # would silently collapse a cluster job onto the driver. Only
+        # default to local mode for plain-python launches.
+        master = f"local[{cores}]"
     # shuffle partitions ∝ cores so both local[8] and local[32] saturate
     # (scaling-efficiency evidence, BASELINE.md)
     nshuffle = shuffle_partitions or max(2 * cores, 32)
     b = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions", str(nshuffle))
         .config("spark.default.parallelism", str(nshuffle))
         .config("spark.sql.adaptive.enabled", "true")
@@ -38,6 +43,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    if master is not None:
+        b = b.master(master)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
