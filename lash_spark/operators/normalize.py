@@ -60,3 +60,74 @@ def html_to_text(html_col: Column | str) -> Column:
     no_script = F.regexp_replace(txt, r"(?s)<(script|style)[^>]*>.*?</\1>", " ")
     no_tags = F.regexp_replace(no_script, r"<[^>]+>", " ")
     return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+
+
+_TRACKING_PARAMS = r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref|ref_src|mc_cid|mc_eid)="
+
+
+def canonical_url(col: Column | str) -> Column:
+    """URL canonicalization — the first dedup stage of every crawl
+    pipeline (two urls that canonicalize equal are the SAME page fetched
+    twice; dedup by canonical url before any content pass). Pure Column:
+
+    - scheme and host lowercased; default ports (:80 http / :443 https)
+      dropped
+    - fragment dropped
+    - tracking query params dropped (utm_*, gclid, fbclid, msclkid, ref,
+      mc_*); remaining params sorted for order-insensitive equality
+    - trailing '/' on a non-root path dropped
+
+    Everything whole-stage codegen (parse_url + array ops); no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    proto = F.lower(F.parse_url(c, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(c, F.lit("HOST")))
+    # parse_url HOST excludes the port; extract it separately and keep only
+    # non-default ports
+    port = F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*:(\d+)", 1)
+    keep_port = (
+        (port != "")
+        & ~((proto == "http") & (port == "80"))
+        & ~((proto == "https") & (port == "443"))
+    )
+    path = F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit(""))
+    # drop a trailing '/' only when preceded by another char, and give the
+    # bare-host form the explicit root path so http://h and http://h/ are
+    # the same page
+    path = F.regexp_replace(path, r"(.)/$", "$1")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.coalesce(F.parse_url(c, F.lit("QUERY")), F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAMS),
+        )
+    )
+    qs = F.array_join(kept, "&")
+    return F.concat(
+        proto,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup_latest(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Keep the LATEST fetch per canonical url (standard recrawl policy):
+    one groupBy on the canonical key taking max of a ts-first struct —
+    a single shuffle, no window over the full table, and deterministic on
+    timestamp ties (struct comparison falls through to the remaining
+    fields)."""
+    canon = canonical_url(url_col).alias("canonical_url")
+    others = list(df.columns)
+    return (
+        df.select(canon, F.struct(F.col(ts_col).alias("_ts"), *others).alias("_row"))
+        .groupBy("canonical_url")
+        .agg(F.max("_row").alias("_row"))
+        .select("canonical_url", *[F.col(f"_row.{c}").alias(c) for c in others])
+    )

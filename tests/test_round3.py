@@ -562,3 +562,51 @@ def test_dist_model_overrides_sidecar_and_estimator_conflicts_error():
     assert resolve_dist_options(ns, params) == 1
     with pytest.raises(SystemExit):
         resolve_dist_options(argparse.Namespace(model=None, estimator="mle"), params)
+
+
+# ------------------------------------------------- URL canonical dedup
+
+def test_canonical_url_and_latest_dedup(spark):
+    """Crawl-side URL canonicalization: case/port/fragment/tracking-param/
+    trailing-slash variants collapse to one key; url_dedup_latest keeps
+    the newest fetch per key, deterministically on timestamp ties."""
+    from pyspark.sql import functions as F
+
+    from lash_spark.operators.normalize import canonical_url, url_dedup_latest
+
+    variants = [
+        "HTTP://Example.COM:80/Path/?utm_source=x&b=2&a=1#frag",
+        "http://example.com/Path?a=1&b=2",
+        "http://example.com/Path/?b=2&a=1&fbclid=zz",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    canon = {r.c for r in df.select(canonical_url("url").alias("c")).collect()}
+    assert canon == {"http://example.com/Path?a=1&b=2"}
+
+    # bare host == explicit root; non-default port survives
+    df2 = spark.createDataFrame(
+        [("https://example.com",), ("https://example.com/",), ("https://example.com:8443/",)],
+        "url string",
+    )
+    canon2 = [r.c for r in df2.select(canonical_url("url").alias("c")).collect()]
+    assert canon2[0] == canon2[1] == "https://example.com/"
+    assert canon2[2] == "https://example.com:8443/"
+
+    rows = [
+        ("http://a.com/p?utm_source=1", "2024-01-01 00:00:00", "old"),
+        ("http://A.com/p", "2024-06-01 00:00:00", "new"),
+        ("http://a.com/p/", "2024-06-01 00:00:00", "tie"),  # same ts as "new"
+        ("http://b.com/q", "2024-01-01 00:00:00", "only"),
+    ]
+    d = spark.createDataFrame(rows, "url string, warc_ts string, text string").withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp")
+    )
+    got = {r.canonical_url: r.text for r in url_dedup_latest(d).collect()}
+    # the a.com tie breaks on the struct's remaining fields (url desc last
+    # wins lexicographically: "http://a.com/p/" > "http://A.com/p")
+    assert set(got) == {"http://a.com/p", "http://b.com/q"}
+    assert got["http://b.com/q"] == "only"
+    assert got["http://a.com/p"] in ("new", "tie")
+    # determinism: same input, same winner every run
+    again = {r.canonical_url: r.text for r in url_dedup_latest(d).collect()}
+    assert again == got
