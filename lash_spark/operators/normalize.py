@@ -62,7 +62,10 @@ def html_to_text(html_col: Column | str) -> Column:
     return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
 
 
-_TRACKING_PARAMS = r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref|ref_src|mc_cid|mc_eid)="
+# pure click-tracking params only: bare `ref` is content-bearing on many
+# sites (branch selectors, variant routing), so stripping it would merge
+# genuinely different pages
+_TRACKING_PARAMS = r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid)="
 
 
 def canonical_url(col: Column | str) -> Column:
@@ -73,29 +76,36 @@ def canonical_url(col: Column | str) -> Column:
     - scheme and host lowercased; default ports (:80 http / :443 https)
       dropped
     - fragment dropped
-    - tracking query params dropped (utm_*, gclid, fbclid, msclkid, ref,
+    - tracking query params dropped (utm_*, gclid, fbclid, msclkid,
       mc_*); remaining params sorted for order-insensitive equality
     - trailing '/' on a non-root path dropped
+    - urls parse_url cannot parse (relative/schemeless/malformed) fall
+      back to the RAW url as their own key — never NULL, so a dedup
+      groupBy cannot collapse distinct malformed urls into one group
 
     Everything whole-stage codegen (parse_url + array ops); no Python."""
     c = F.col(col) if isinstance(col, str) else col
-    proto = F.lower(F.parse_url(c, F.lit("PROTOCOL")))
-    host = F.lower(F.parse_url(c, F.lit("HOST")))
+    proto = F.lower(F.try_parse_url(c, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(c, F.lit("HOST")))
     # parse_url HOST excludes the port; extract it separately and keep only
-    # non-default ports
-    port = F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*:(\d+)", 1)
+    # non-default ports. The (?=[/?#]|$) anchor requires the digits to END
+    # the authority — without it, a numeric password in userinfo
+    # (user:123@host) would be lifted out as the port.
+    port = F.regexp_extract(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*:(\d+)(?=[/?#]|$)", 1
+    )
     keep_port = (
         (port != "")
         & ~((proto == "http") & (port == "80"))
         & ~((proto == "https") & (port == "443"))
     )
-    path = F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit(""))
     # drop a trailing '/' only when preceded by another char, and give the
     # bare-host form the explicit root path so http://h and http://h/ are
     # the same page
     path = F.regexp_replace(path, r"(.)/$", "$1")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.coalesce(F.parse_url(c, F.lit("QUERY")), F.lit(""))
+    query = F.coalesce(F.try_parse_url(c, F.lit("QUERY")), F.lit(""))
     kept = F.array_sort(
         F.filter(
             F.split(query, "&"),
@@ -103,7 +113,7 @@ def canonical_url(col: Column | str) -> Column:
         )
     )
     qs = F.array_join(kept, "&")
-    return F.concat(
+    canon = F.concat(
         proto,
         F.lit("://"),
         host,
@@ -111,6 +121,8 @@ def canonical_url(col: Column | str) -> Column:
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+    # concat null-propagates when proto/host failed to parse
+    return F.coalesce(canon, c)
 
 
 def url_dedup_latest(

@@ -94,7 +94,8 @@ def _alphabet_compaction(d: DataFrame):
     does not remap atomically). Costs one distinct-chars sweep — a tiny
     shuffle after map-side partial aggregation."""
     cps = (
-        d.select(
+        d.filter(F.length("_t") >= 1)  # empty docs would inject codepoint 0
+        .select(
             F.explode(
                 # per-doc array_distinct first: the explode emits one row
                 # per distinct char per doc (~alphabet size), not one per
@@ -129,13 +130,23 @@ def suffix_ranks(
     id_col: str = "url",
     text_col: str = "norm_text",
     checkpoint: bool = True,
+    compaction="auto",
 ) -> DataFrame:
     """(id, pos, sa_rank) for every character position: sa_rank is the dense
     lexicographic rank of the suffix truncated to ``depth`` characters
     (corpus-global). pos is 1-based. Positions with fewer than ``depth``
     characters remaining compare with an end sentinel (-1) that sorts low,
-    matching ordinary suffix order for the truncated view."""
-    d = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    matching ordinary suffix order for the truncated view. Empty-text docs
+    contribute no positions (without the filter, ``sequence(1, 0)`` counts
+    DOWN and the init pack hits index 0).
+
+    ``compaction``: "auto" computes the alphabet compaction here; pass a
+    precomputed ``_alphabet_compaction`` result (or None for the generic
+    21-bit packing) to avoid re-running the distinct-chars sweep when the
+    caller already did."""
+    d = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")).filter(
+        F.length("_t") >= 1
+    )
     # initial rank = as many characters as fit one signed long, packed in a
     # base-2^width positional code (codepoint-rank+1; 0 = past-the-end
     # sentinel, so shorter suffixes sort first) — order-preserving,
@@ -145,7 +156,10 @@ def suffix_ranks(
     # non-BMP alphabets: width 21 (> 0x110000 covers every codepoint,
     # 3 * 21 = 63 bits). Units are CODEPOINTS, matching SQL substr
     # semantics (== bytes on ASCII corpora).
-    compact = _alphabet_compaction(d) if depth > 3 else None
+    if compaction == "auto":
+        compact = _alphabet_compaction(d) if depth > 3 else None
+    else:
+        compact = compaction
     if compact is not None:
         remap, width = compact
         d = d.withColumn("_t", remap)
@@ -206,7 +220,7 @@ def suffix_ranks(
 _MAX_PACKED_WORDS = 8  # widest composite window key: 8 longs = 64 bytes
 
 
-def _packed_window_keys(d: DataFrame, min_len: int) -> DataFrame | None:
+def _packed_window_keys(d: DataFrame, min_len: int, compaction="auto") -> DataFrame | None:
     """Zero-round window keying, unlocked by alphabet compaction: with the
     corpus alphabet dense-remapped to ``bits`` bits per char, one signed
     long packs w = 63 // bits characters, so the full min_len window is
@@ -221,8 +235,9 @@ def _packed_window_keys(d: DataFrame, min_len: int) -> DataFrame | None:
     alphabets fall back to the rank-composite path).
 
     ``d`` must have columns (_id, _t); rows are (_id, pos, key), pos
-    1-based."""
-    compact = _alphabet_compaction(d)
+    1-based. ``compaction``: "auto" computes it here; callers that already
+    ran ``_alphabet_compaction`` pass its result to skip the sweep."""
+    compact = _alphabet_compaction(d) if compaction == "auto" else compaction
     if compact is None:
         return None
     remap, bits = compact
@@ -297,9 +312,12 @@ def substring_pairs_sa(
     d = docs.select(F.col(id_col), F.col(text_col))
     if candidates is not None:
         d = d.join(candidates.select(id_col).distinct(), id_col, "left_semi")
-    packed = _packed_window_keys(  # (_id, pos, key); pos unused for pairs
-        d.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")), min_len
-    )
+    d2 = d.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    # one alphabet sweep decides the strategy AND feeds whichever path runs
+    # (without this, a declined packed path would re-sweep inside
+    # suffix_ranks — two full corpus scans of pure waste)
+    compact = _alphabet_compaction(d2)
+    packed = _packed_window_keys(d2, min_len, compaction=compact)
     if packed is not None:
         keyed = (
             packed.select(
@@ -311,7 +329,7 @@ def substring_pairs_sa(
         return pairs_from_keys(keyed, id_col=id_col, max_bucket=max_bucket)
     half = (min_len + 1) // 2
     shift = min_len - half
-    ranks = suffix_ranks(d, half, id_col=id_col, text_col=text_col)
+    ranks = suffix_ranks(d, half, id_col=id_col, text_col=text_col, compaction=compact)
     # only positions with a full min_len window participate; both half
     # spans then lie fully inside the text (remaining >= half at pos+shift)
     lens = d.select(F.col(id_col), F.length(text_col).alias("_len"))

@@ -18,20 +18,24 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
-        # Under spark-submit the launcher already created the JVM gateway
-        # (PYSPARK_GATEWAY_PORT) carrying the submit conf, including
-        # spark.master (yarn / k8s / standalone) — setting .master() here
-        # would silently collapse a cluster job onto the driver. Only
-        # default to local mode for plain-python launches.
+    # Under spark-submit the launcher already created the JVM gateway
+    # (PYSPARK_GATEWAY_PORT) carrying the submit conf: spark.master
+    # (yarn / k8s / standalone) AND any --conf sizing like
+    # spark.sql.shuffle.partitions. Builder .config()/.master() values win
+    # over submit conf, so forcing driver-cpu-derived defaults there would
+    # silently collapse a 1000-executor job's parallelism onto the driver's
+    # core count. Only apply local-mode defaults for plain-python launches;
+    # explicit arguments always win.
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not submitted:
         master = f"local[{cores}]"
     # shuffle partitions ∝ cores so both local[8] and local[32] saturate
     # (scaling-efficiency evidence, BASELINE.md)
-    nshuffle = shuffle_partitions or max(2 * cores, 32)
+    nshuffle = shuffle_partitions
+    if nshuffle is None and not submitted:
+        nshuffle = max(2 * cores, 32)
     b = (
         SparkSession.builder.appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(nshuffle))
-        .config("spark.default.parallelism", str(nshuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -45,6 +49,10 @@ def get_spark(
     )
     if master is not None:
         b = b.master(master)
+    if nshuffle is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(nshuffle)).config(
+            "spark.default.parallelism", str(nshuffle)
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

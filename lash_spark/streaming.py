@@ -170,12 +170,18 @@ def stream_near_dup(
     a cross-batch pair (x in Bi, y in Bj, i < j) is found when Bj probes
     the store, through the SAME signature/candidate/verify stages.
 
-    Replay safety uses the pessimistic-guard pattern of stream_signatures,
-    with a two-step append protocol: pairs are appended BEFORE docs, and on
-    a guarded (post-failure/restart) invocation both the batch (vs
-    ``stream_docs``) and the recomputed pairs (vs ``stream_dup_pairs``)
-    are anti-joined — so a crash between the two appends re-runs the batch
-    without duplicating pairs, and a crash after both no-ops.
+    Ingest semantics: FIRST ingest wins per id — every batch is
+    anti-joined against the store's ids, so recrawled ids are dropped
+    consistently (recrawl replacement policy belongs upstream in
+    url_dedup_latest) and degenerate (x, x) self-pairs cannot occur.
+
+    Replay safety: a two-step append protocol (pairs BEFORE docs) plus the
+    pessimistic guard of stream_signatures — on a guarded
+    (post-failure/restart) invocation the recomputed pairs are also
+    anti-joined vs ``stream_dup_pairs``, so a crash between the two
+    appends re-runs the batch without duplicating pairs, and a crash
+    after both no-ops (the batch's ids are in the store, so the
+    unconditional id anti-join empties it).
 
     At scale the store probe is the cross-dataset join: batch band keys
     against the store's, skew-salted both sides — per-batch cost scales
@@ -196,7 +202,15 @@ def stream_near_dup(
         guard["pending"] = True  # stays set if anything below raises
         batch = batch_df.select(id_col, text_col)
         have_store = catalog.exists("stream_docs")
-        if need_guard and have_store:
+        if have_store:
+            # EVERY batch (not just guarded ones) drops ids already in the
+            # store: first ingest wins. This makes recrawled ids behave
+            # identically with or without a crash in the history, keeps
+            # the store one-row-per-id, and makes batch-vs-store
+            # self-pairs (x, x) impossible. (Recrawl REPLACEMENT policy
+            # belongs upstream — url_dedup_latest — not in the stream.)
+            # Unlike stream_signatures, this costs no extra amortized
+            # read: the store is read again below for the cross probe.
             batch = batch.join(
                 catalog.read("stream_docs").select(id_col), id_col, "left_anti"
             )
@@ -204,15 +218,16 @@ def stream_near_dup(
         if batch.isEmpty():
             guard["pending"] = False
             return
+        cached: list[DataFrame] = []
         pairs = cross_dataset_pairs(
             batch, batch, params, id_col=id_col, text_col=text_col,
-            threshold=threshold, same_files=True,
+            threshold=threshold, same_files=True, unpersist_into=cached,
         )
         if have_store:
             hist = catalog.read("stream_docs")
             cross = cross_dataset_pairs(
                 batch, hist, params, id_col=id_col, text_col=text_col,
-                threshold=threshold,
+                threshold=threshold, unpersist_into=cached,
             )
             qc, rc = F.col(f"{id_col}_q"), F.col(f"{id_col}_r")
             pairs = pairs.unionByName(
@@ -227,8 +242,15 @@ def stream_near_dup(
             pairs = pairs.join(
                 catalog.read("stream_dup_pairs").select(a, b), [a, b], "left_anti"
             )
-        catalog.append(pairs, "stream_dup_pairs")
-        catalog.append(batch, "stream_docs")
+        try:
+            catalog.append(pairs, "stream_dup_pairs")
+            catalog.append(batch, "stream_docs")
+        finally:
+            # release the per-batch signature caches (cross_dataset_pairs
+            # persists its sig tables; without this every micro-batch pins
+            # a store-sized cache entry for the stream's lifetime)
+            for df in cached:
+                df.unpersist()
         catalog.log_metrics(
             f"stream_near_dup_batch_{batch_id}",
             params.params_hash(),
