@@ -668,6 +668,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repeated_window_counts"] = repeated_window_counts
 
+    # ---- dedup yield analysis: cluster-size histogram over the verified
+    # near-dup clusters (how much mass dedup removes at each multiplicity)
+    def cluster_size_histogram(spark, sf_dir):
+        cl = q["near_dup_clusters"](spark, sf_dir)
+        return (
+            cl.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("cluster_size"))
+            .groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+        )
+
+    q["cluster_size_histogram"] = cluster_size_histogram
+
+    # ---- Gopher-family CORPUS-level signal (complements the within-doc
+    # repetition_stats): fraction of each doc's distinct word-5-grams that
+    # occur in at least one other document
+    def cross_doc_ngram_dup(spark, sf_dir):
+        from lash_spark.operators.textstats import cross_doc_ngram_dup_stats
+
+        return cross_doc_ngram_dup_stats(
+            _normed(spark, sf_dir), "norm_text", n=5, id_col="doc_id"
+        )
+
+    q["cross_doc_ngram_dup"] = cross_doc_ngram_dup
+
     # ---- true lexicographic suffix order (the SA operator itself, not
     # just its pair-detection use): dense corpus-global rank of every
     # depth-32-truncated suffix over a 50-doc subset. Oracle: DuckDB
@@ -1020,6 +1045,44 @@ GROUP BY 1, 2
     # identical truth set; the SA engine is byte-exact so this parity is
     # unconditional (no hash-collision caveat)
     o["substring_dup_pairs_sa"] = o["substring_dup_pairs"]
+
+    o["cluster_size_histogram"] = (
+        _SHINGLE_PAIRS_CTE.replace("WITH normed", "WITH RECURSIVE normed", 1)
+        + """,
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM dup
+  UNION ALL
+  SELECT doc_id_b AS src, doc_id_a AS dst FROM dup
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT e.dst AS node, r.r
+  FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
+SELECT cluster_size, count(*) AS n_clusters FROM csizes GROUP BY cluster_size
+"""
+    )
+
+    o["cross_doc_ngram_dup"] = f"""
+WITH normed AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM normed),
+g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(ws, i.i, i.i + 4), ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i) i
+  WHERE len(ws) >= 5
+),
+gd AS (SELECT gram, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+       round(sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
+FROM g JOIN gd USING (gram)
+GROUP BY g.doc_id
+"""
 
     o["suffix_rank_order"] = f"""
 WITH normed AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE doc_id < 50),

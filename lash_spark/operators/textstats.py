@@ -210,3 +210,48 @@ def fingerprint(text_col: str = "norm_text") -> Column:
     """128-bit content fingerprint (md5 of normalized text) — the engine's
     document identity for exact-dup and lineage joins."""
     return F.md5(F.col(text_col))
+
+
+def cross_doc_ngram_dup_stats(
+    docs,
+    text_col: str = "norm_text",
+    n: int = 5,
+    id_col: str = "doc_id",
+):
+    """Cross-document duplicated word-n-gram fraction — the Gopher /
+    MassiveText corpus-level signal complementing the WITHIN-doc
+    `repetition_stats`: for each doc, the fraction of its DISTINCT word
+    n-grams that also occur in at least one OTHER document (boilerplate /
+    template mass). Docs with fewer than ``n`` words emit no row.
+
+    Shape: per-doc distinct n-grams explode once (the same position-row
+    class as the shingle-count pass — run corpus-wide at small scale,
+    restricted or fingerprint-bucketed at web scale), one groupBy for
+    corpus gram document-counts, one join back, one per-doc aggregate —
+    all JVM; no Python anywhere."""
+    from pyspark.sql import functions as F
+
+    # explicit empty-array branch: sequence(1, k) with k <= 0 counts DOWN
+    grams = F.array_distinct(
+        F.expr(
+            f"if(size(split({text_col}, ' ')) < {n}, array(), "
+            f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
+            f" i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')))"
+        )
+    )
+    per_doc = docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+    gram_docs = per_doc.groupBy("gram").agg(
+        F.countDistinct(id_col).alias("_docs")
+    )
+    return (
+        per_doc.join(gram_docs, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_docs") >= 2, 1).otherwise(0)).alias("dup_grams"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_grams").cast("double") / F.col("n_grams"), 6),
+        )
+    )

@@ -652,3 +652,38 @@ def test_canonical_url_edge_cases(spark):
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = {r.url: r.c for r in df.select("url", canonical_url("url").alias("c")).collect()}
     assert got == cases
+
+
+def test_cross_doc_ngram_dup_stats(spark):
+    """Python ground truth for the corpus-level duplicated word-n-gram
+    fraction (distinct grams per doc; dup = gram present in >= 2 docs)."""
+    from collections import defaultdict
+
+    from lash_spark.operators.textstats import cross_doc_ngram_dup_stats
+
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "x y a b c d e z"),
+        (3, "totally different words here now ok"),
+        (4, "tiny"),  # < n words: no row
+    ]
+    n = 5
+    docs_of = defaultdict(set)
+    grams_of = {}
+    for uid, t in rows:
+        ws = t.split(" ")
+        gs = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+        grams_of[uid] = gs
+        for g in gs:
+            docs_of[g].add(uid)
+    want = {}
+    for uid, gs in grams_of.items():
+        if gs:
+            dup = sum(1 for g in gs if len(docs_of[g]) >= 2)
+            want[uid] = (len(gs), dup, round(dup / len(gs), 6))
+    df = spark.createDataFrame(rows, "doc_id bigint, norm_text string")
+    got = {
+        r.doc_id: (r.n_grams, r.dup_grams, r.dup_frac)
+        for r in cross_doc_ngram_dup_stats(df, "norm_text", n=n).collect()
+    }
+    assert got == want and 4 not in got and got[1][1] > 0
