@@ -706,8 +706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["suffix_rank_order"] = suffix_rank_order
 
-    # maximal common-substring length (rows-only: LCS length is not
-    # reasonably SQL-expressible; the pair SET is oracled above)
+    # maximal common-substring length per verified pair; oracled via the
+    # all-lengths window-set intersection (L >= 64 only — the pair set
+    # guarantees a shared 64-window, so the max is >= 64)
     def substring_lens(spark, sf_dir):
         from lash_spark.operators.substring import common_substring_lengths
 
@@ -1237,10 +1238,42 @@ FROM allv a JOIN allv b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.99
 """
 
+    # maximal common-substring length: for each oracled pair, the greatest
+    # L whose length-L window sets intersect (O(len^2) substrings per pair
+    # member, restricted to L >= 64 — fine at oracle scale; the ENGINE
+    # computes it with seed-and-extend, not this quadratic form). Byte ==
+    # char on the ASCII corpus (the engine extends byte-wise).
+    o["substring_common_len"] = f"""
+WITH normed AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+w AS (
+  SELECT DISTINCT doc_id, substr(t, i.i, 64) AS s
+  FROM normed, LATERAL (SELECT unnest(generate_series(1, len(t) - 63)) AS i) i
+  WHERE len(t) >= 64
+),
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+members AS (SELECT da AS doc_id FROM p UNION SELECT db FROM p),
+mt AS (SELECT n.doc_id, n.t FROM normed n JOIN members USING (doc_id)),
+subs AS (
+  SELECT DISTINCT doc_id, l.l AS L, substr(t, i.i, l.l) AS s
+  FROM mt,
+       LATERAL (SELECT unnest(generate_series(64, len(t))) AS l) l,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - l.l + 1)) AS i) i
+)
+SELECT p.da AS doc_id_a, p.db AS doc_id_b, max(sa.L) AS common_len
+FROM p
+JOIN subs sa ON sa.doc_id = p.da
+JOIN subs sb ON sb.doc_id = p.db AND sb.L = sa.L AND sb.s = sa.s
+GROUP BY 1, 2
+"""
+
     # minhash_signatures / lsh_candidates / simhash_hamming_pairs /
-    # hll_register_sketches / substring_common_len:
-    # non-SQL-expressible (register contents / LSH bucketing / maximal LCS
-    # length) — intentionally omitted -> driver records rows-only checks;
-    # their semantics are covered by tests/ (unit + property + brute-force
-    # recall) and, for the substring pass, by the oracled pair SET above.
+    # hll_register_sketches:
+    # non-SQL-expressible (register contents / LSH bucketing) —
+    # intentionally omitted -> driver records rows-only checks; their
+    # semantics are covered by tests/ (unit + property + brute-force
+    # recall / engine self-parity).
     return o
