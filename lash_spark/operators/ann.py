@@ -210,17 +210,22 @@ def ivf_fit(
     ).withColumn("cu", _unit_expr(F.col("cv")))
     full = c.withColumn("features", array_to_vector("cu"))
     cap = max(train_per_list * n_lists, n_lists)
-    n = full.count()
-    if n > cap:
-        # deterministic seeded sample (not limit(): head-of-table bias),
-        # with headroom so the sample rarely lands under n_lists points
-        frac = min(1.0, 1.25 * cap / n)
-        train = full.sample(fraction=frac, seed=seed)
-    else:
-        train = full
-    # the train side is <= ~1.25 * cap rows either way: coalesce so each of
-    # KMeans's ~maxIter iteration jobs is a handful of tasks, not one per
-    # corpus partition
+    # Bounded deterministic sample with NO full-corpus count job (ADVICE
+    # r3): order by a seeded per-row hash and take the top `cap` — Spark
+    # plans this as partial per-partition top-K + one merge (one pass, no
+    # head-of-table bias since hash order is content-independent), and it
+    # yields exactly min(n, cap) rows, so the fit can never see fewer than
+    # n_lists points unless the corpus itself has fewer.
+    train = (
+        full.withColumn("_h", F.xxhash64(F.col("item_id"), F.lit(seed)))
+        .orderBy("_h", "item_id")
+        .limit(cap)
+        .drop("_h")
+    )
+    # the train side is <= cap rows: coalesce so each of KMeans's ~maxIter
+    # iteration jobs is a handful of tasks, not one per corpus partition
+    # (MLlib caches the instances RDD internally, so the top-K sample is
+    # evaluated once, not per iteration)
     model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(
         train.coalesce(8)
     )

@@ -99,6 +99,46 @@ def make_window_set_udf(win_len: int):
     return win_udf
 
 
+# Ceiling on materialized (pos_a, pos_b) hash-match pairs in the
+# seed-and-extend path. Repetitive/periodic text (boilerplate, spam) can
+# make every window of a match every window of b — O(|a|·|b|) pairs, which
+# at two ~100 KB documents would OOM an executor (ADVICE r3). Above the cap
+# we fall back to binary search on the length, which touches O(|a|+|b|)
+# unique hashes per probe and never materializes position pairs.
+_LCS_MATCH_CAP = 4_000_000
+
+
+def _lcs_length_bisect(ba: np.ndarray, bb: np.ndarray, min_len: int) -> int:
+    """Near-linear-memory fallback: binary search on the answer length.
+    A common substring of length >= L exists iff the length-L window-hash
+    SETS intersect (np.intersect1d over unique hashes — no position
+    pairs). O((|a|+|b|) log|answer|) work, O(|a|+|b|) memory."""
+
+    def hit(ln: int) -> bool:
+        return (
+            np.intersect1d(
+                np.unique(rolling_window_hashes(ba, ln)),
+                np.unique(rolling_window_hashes(bb, ln)),
+                assume_unique=True,
+            ).size
+            > 0
+        )
+
+    lo, hi = min_len, min(ba.size, bb.size)
+    if not hit(lo):
+        return 0
+    if hit(hi):
+        return hi
+    # invariant: hit(lo) true, hit(hi) false
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if hit(mid):
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
 def _lcs_length(a: bytes, b: bytes, min_len: int) -> int:
     """Longest common substring length (>= min_len, else 0) by
     seed-and-extend: ONE rolling pass of length-min_len window hashes per
@@ -108,7 +148,12 @@ def _lcs_length(a: bytes, b: bytes, min_len: int) -> int:
     hash match can carry the answer. Each such diagonal is scanned once
     with a vectorized aligned byte comparison for its longest equal run.
     No binary search, no re-hashing at log(L) different widths; hash
-    collisions merely waste one diagonal scan (byte compare decides)."""
+    collisions merely waste one diagonal scan (byte compare decides).
+
+    Highly repetitive pairs (where the match-pair count would exceed
+    ``_LCS_MATCH_CAP``) route to :func:`_lcs_length_bisect` instead, so
+    memory stays near-linear on the worst-case inputs this pass actually
+    sees (it runs on confirmed near-dup pairs, i.e. boilerplate)."""
     na, nb = len(a), len(b)
     if na < min_len or nb < min_len:
         return 0
@@ -124,6 +169,8 @@ def _lcs_length(a: bytes, b: bytes, min_len: int) -> int:
     total = int(cnt.sum())
     if total == 0:
         return 0
+    if total > _LCS_MATCH_CAP:
+        return _lcs_length_bisect(ba, bb, min_len)
     jj = order[np.repeat(left, cnt) + (np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt))]
     ii = np.repeat(np.arange(ha.size), cnt)
     best = 0

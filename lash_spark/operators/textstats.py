@@ -153,16 +153,20 @@ def repetition_stats(df: DataFrame, text_col: str = "norm_text") -> DataFrame:
     the per-gram counts, and ascending traversal makes `run >= best`
     the largest-gram tie-break."""
     t = F.col(text_col)
-    w = _words(text_col)
+    # materialize the word array ONCE as a column before gram construction:
+    # Catalyst does not CSE a split() referenced inside a lambda across its
+    # invocations, so inlining it made 2-gram construction O(n_words^2)
+    # character work per document (ADVICE r3). `_ws` is referenced several
+    # times below, which also keeps CollapseProject from re-inlining it.
+    df = df.withColumn("_ws", _words(text_col))
     grams = F.when(
-        F.size(w) >= 2,
+        F.size("_ws") >= 2,
         F.expr(
-            f"transform(sequence(1, size(split({text_col}, ' ')) - 1),"
-            f" i -> concat(element_at(split({text_col}, ' '), i), ' ',"
-            f" element_at(split({text_col}, ' '), i + 1)))"
+            "transform(sequence(1, size(_ws) - 1),"
+            " i -> concat(element_at(_ws, i), ' ', element_at(_ws, i + 1)))"
         ),
     ).otherwise(F.expr("array()"))
-    df = df.withColumn("_gs", grams)
+    df = df.withColumn("_gs", grams).drop("_ws")
     n = F.size("_gs")
     init = F.struct(
         F.lit("").alias("prev"),
@@ -231,15 +235,20 @@ def cross_doc_ngram_dup_stats(
     all JVM; no Python anywhere."""
     from pyspark.sql import functions as F
 
-    # explicit empty-array branch: sequence(1, k) with k <= 0 counts DOWN
+    # explicit empty-array branch: sequence(1, k) with k <= 0 counts DOWN.
+    # Split once into `_ws` (Catalyst won't CSE split() inside the lambda
+    # across invocations — ADVICE r3; multiple `_ws` references keep
+    # CollapseProject from re-inlining the split).
     grams = F.array_distinct(
         F.expr(
-            f"if(size(split({text_col}, ' ')) < {n}, array(), "
-            f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
-            f" i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')))"
+            f"if(size(_ws) < {n}, array(), "
+            f"transform(sequence(1, size(_ws) - {n - 1}),"
+            f" i -> array_join(slice(_ws, i, {n}), ' ')))"
         )
     )
-    per_doc = docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+    per_doc = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_ws")
+    ).select(F.col(id_col), F.explode(grams).alias("gram"))
     gram_docs = per_doc.groupBy("gram").agg(
         F.countDistinct(id_col).alias("_docs")
     )

@@ -1,0 +1,111 @@
+"""Round-4 additions: ADVICE r3 fixes (LCS match-pair cap + bisect
+fallback, linear 2-gram construction, count-free bounded IVF sampling),
+incremental streaming near-dup, CLI --dm, bounded repeated-window
+analysis, SimHash multi-probe, partition-granular resume, and the
+S-curve-boundary recall fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+# ------------------------------------------------- ADVICE r3: LCS memory
+
+
+def test_lcs_bisect_matches_seed_extend(monkeypatch):
+    """The bisect fallback (engaged above _LCS_MATCH_CAP) must agree with
+    the primary seed-and-extend path on repetitive and planted cases."""
+    from lash_spark.operators import substring as S
+
+    rng = np.random.default_rng(7)
+    shared = bytes(rng.integers(97, 123, 500, dtype=np.uint8))
+    noise1 = bytes(rng.integers(97, 123, 800, dtype=np.uint8))
+    noise2 = bytes(rng.integers(97, 123, 800, dtype=np.uint8))
+    cases = [
+        # periodic boilerplate: every window matches ~1/9 of the other side
+        (b"spam ham " * 400, b"spam ham " * 300 + b"tail-x"),
+        # planted shared run inside distinct noise
+        (noise1 + shared + noise1, noise2 + shared),
+        # no match at all
+        (noise1, noise2),
+    ]
+    primary = [S._lcs_length(x, y, 64) for x, y in cases]
+    assert primary[0] == len(b"spam ham " * 300)
+    assert primary[1] >= 500
+    assert primary[2] == 0
+    monkeypatch.setattr(S, "_LCS_MATCH_CAP", 100)  # force the fallback
+    for (x, y), want in zip(cases, primary):
+        assert S._lcs_length(x, y, 64) == want
+
+
+def test_lcs_default_cap_survives_pathological_repetition():
+    """ADVICE r3 (medium): two ~100 KB periodic documents would have
+    ~6e9 window-match pairs (≈48 GB if materialized). Passing at all
+    proves the cap routes them to the near-linear bisect path."""
+    from lash_spark.operators.substring import _LCS_MATCH_CAP, _lcs_length
+
+    a = b"ab" * 60_000
+    b = b"ab" * 50_000
+    # the pair volume genuinely exceeds the cap (else this test is vacuous)
+    n_pairs = (len(a) - 63) * (len(b) - 63) // 2
+    assert n_pairs > _LCS_MATCH_CAP
+    assert _lcs_length(a, b, 64) == len(b)
+
+
+# -------------------------------------- ADVICE r3: linear gram construction
+
+
+def test_repetition_stats_splits_text_once(spark):
+    """split() must not appear inside the transform lambda (Catalyst does
+    not CSE it across lambda invocations -> O(n_words^2) char work)."""
+    from lash_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame([("a", "x y x y z")], "doc_id string, norm_text string")
+    plan = repetition_stats(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+
+
+def test_cross_doc_ngram_splits_text_once_per_subtree(spark):
+    from lash_spark.operators.textstats import cross_doc_ngram_dup_stats
+
+    df = spark.createDataFrame([("a", "x y x y z")], "doc_id string, norm_text string")
+    out = cross_doc_ngram_dup_stats(df, n=2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the per-doc gram subtree appears twice (gram census + join back);
+    # each occurrence must hold exactly one split
+    assert plan.count("split(") <= 2, plan
+    row = out.collect()[0]
+    assert (row.n_grams, row.dup_grams) == (3, 0)
+
+
+# ----------------------------------------- ADVICE r3: bounded IVF sampling
+
+
+def test_ivf_fit_bounded_sample_and_deterministic(spark):
+    """ivf_fit takes a one-pass hash-order top-cap sample: no full count
+    job, exactly min(n, cap) train rows, deterministic across calls, and
+    full-probe results still match brute force."""
+    from lash_spark.operators.ann import brute_force_topk, ivf_fit, ivf_probe
+
+    rng = np.random.default_rng(11)
+    rows = [(f"v{i}", [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+
+    idx1 = ivf_fit(corpus, n_lists=4, train_per_list=2, seed=3)  # cap=8 < 40
+    idx2 = ivf_fit(corpus, n_lists=4, train_per_list=2, seed=3)
+    c1 = sorted(map(tuple, idx1.centroids.collect()))
+    c2 = sorted(map(tuple, idx2.centroids.collect()))
+    assert c1 == c2
+
+    queries = corpus.limit(3)
+    got = ivf_probe(idx1, queries, k=3, n_probe=4, cosine_round=9)
+    want = brute_force_topk(corpus, queries, k=3)
+    gs = {(r.query_id, r.item_id, r.rank) for r in got.collect()}
+    ws = {(r.query_id, r.item_id, r.rank) for r in want.collect()}
+    assert gs == ws
+
+    # corpus at exactly n_lists rows still fits (the old Bernoulli sample
+    # could land under n_lists and crash the KMeans fit)
+    tiny = corpus.limit(4)
+    idx3 = ivf_fit(tiny, n_lists=4, train_per_list=1, seed=3)
+    assert idx3.centroids.count() == 4
