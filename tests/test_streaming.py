@@ -122,6 +122,111 @@ def test_stream_signatures_honors_normalize_version(spark, tmp_path):
     assert not batch_v1.exceptAll(batch_v2).isEmpty()
 
 
+def test_stream_near_dup_incremental_signature_work(spark, tmp_path, monkeypatch):
+    """VERDICT r3 #1 done-criterion: per-batch signature-UDF input rows
+    are O(batch) while the store grows across >= 3 drops — the cross
+    probe reads the persisted ``stream_sigs`` table instead of
+    re-sketching the accumulated store every micro-batch."""
+    from pyspark.sql import functions as F
+
+    import lash_spark.streaming as streaming_mod
+    from lash_spark.streaming import stream_near_dup
+
+    pages = generate_pages(spark, 180, seed=42, partitions=4)
+    src = str(tmp_path / "src")
+    drops = [pages.filter(f"planted_cluster % 3 = {i}") for i in range(3)]
+    for i, d in enumerate(drops):
+        # one file per drop => one micro-batch per drop at maxFilesPerTrigger=1
+        d.coalesce(1).write.parquet(f"{src}/d{i}")
+    drop_sizes = sorted(d.count() for d in drops)
+
+    calls: list[int] = []
+    real = streaming_mod.build_signatures
+
+    def counting_build(docs, params, plan=None, **kw):
+        calls.append(docs.count())
+        return real(docs, params, plan, **kw)
+
+    monkeypatch.setattr(streaming_mod, "build_signatures", counting_build)
+
+    cat = ParquetCatalog(spark, str(tmp_path / "cat"))
+    params = SketchParams()
+    stream = (
+        spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_near_dup(
+        stream, cat, params, checkpoint_dir=str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(300)
+
+    # exactly one signature build per drop, each sized to ITS batch — the
+    # store grew to 3 drops but history was never re-sketched, so total
+    # signature-UDF input rows across the whole run == corpus size
+    assert sorted(calls) == drop_sizes
+    assert sum(calls) == pages.count()
+    assert cat.read("stream_docs").count() == pages.count()
+
+    # the persisted signature table matches a batch build over the union
+    got = cat.read("stream_sigs")
+    want = build_signatures(
+        with_normalized_text(pages, "text"), params, LshPlan.plan(128, 0.8, 0.995)
+    )
+    assert got.count() == pages.count()
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+    # and pairs still close over the union (smoke; full closure test below)
+    assert cat.read("stream_dup_pairs").select(
+        F.col("url_a"), F.col("url_b")
+    ).distinct().count() == cat.read("stream_dup_pairs").count()
+
+
+def test_stream_near_dup_sig_table_backfill(spark, tmp_path):
+    """A store created without ``stream_sigs`` (round-3 layout, or a lost
+    signature table) is backfilled ONCE from the stored docs, then probed
+    incrementally — cross-batch pairs still close over the union."""
+    import shutil
+
+    from lash_spark.pipeline import cross_dataset_pairs
+    from lash_spark.streaming import stream_near_dup
+
+    pages = generate_pages(spark, 120, seed=42, partitions=2)
+    src = str(tmp_path / "src")
+    pages.filter("planted_cluster % 2 = 0").coalesce(1).write.parquet(f"{src}/d0")
+    pages.filter("planted_cluster % 2 = 1").coalesce(1).write.parquet(f"{src}/d1")
+    params = SketchParams()
+    cat = ParquetCatalog(spark, str(tmp_path / "cat"))
+
+    def run(glob: str, ckpt: str):
+        stream = (
+            spark.readStream.schema(pages.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(glob)
+        )
+        q = stream_near_dup(
+            stream, cat, params, checkpoint_dir=str(tmp_path / ckpt), trigger_once=True
+        )
+        q.awaitTermination(300)
+
+    run(f"{src}/d0", "ckpt0")
+    assert cat.exists("stream_sigs")
+    shutil.rmtree(cat.path("stream_sigs"))  # simulate the round-3 layout
+
+    run(f"{src}/*", "ckpt1")  # fresh checkpoint: d0 batch dedups to empty,
+    # d1 batch triggers the backfill then probes it
+    got = {
+        (r.url_a, r.url_b, round(r.jaccard, 9))
+        for r in cat.read("stream_dup_pairs").collect()
+    }
+    want = {
+        (r.url_a, r.url_b, round(r.jaccard, 9))
+        for r in cross_dataset_pairs(pages, pages, params, same_files=True).collect()
+    }
+    assert got == want and len(got) > 0
+    assert cat.read("stream_sigs").count() == pages.count()
+
+
 def test_stream_near_dup_prefix_closure(spark, tmp_path):
     """Streaming near-dup over 3 drops == the batch triangular pass over
     their union (same signature/candidate/verify machinery), and a second
