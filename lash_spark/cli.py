@@ -126,6 +126,11 @@ def main(argv=None):
     p.add_argument("--query-docs", required=True)
     p.add_argument("--reference-docs", required=True)
     p.add_argument("--output", required=True)
+    p.add_argument(
+        "--dm", action="store_true",
+        help="write a distance matrix instead of the TSV (main.rs:170-176; "
+        "lower-triangular with zero diagonal when query == reference)",
+    )
     _add_common(p)
 
     p = sub.add_parser("cluster", help="dup pairs -> cluster assignments")
@@ -237,9 +242,24 @@ def main(argv=None):
                 verified, "jaccard", k=params_q.shingle_k,
                 model=dist_model, fp32=args.fp32, id_col=args.id_col,
             )
-        write_distance_tsv(verified, args.output, id_a=ia, id_b=ib)
-        print(json.dumps({"dist": args.output, "rows": verified.count(),
-                          "same_files": same_files}))
+        if args.dm:
+            from lash_spark.operators.sinks import write_distance_matrix_file
+
+            ids_q = [r[0] for r in sig_q.select(args.id_col).collect()]
+            ids_r = (
+                ids_q if same_files
+                else [r[0] for r in sig_r.select(args.id_col).collect()]
+            )
+            n_rows = write_distance_matrix_file(
+                verified, ids_r, ids_q, args.output,
+                id_a=ia, id_b=ib, same_files=same_files,
+            )
+            print(json.dumps({"dist": args.output, "matrix_rows": n_rows,
+                              "same_files": same_files, "dm": True}))
+        else:
+            write_distance_tsv(verified, args.output, id_a=ia, id_b=ib)
+            print(json.dumps({"dist": args.output, "rows": verified.count(),
+                              "same_files": same_files}))
 
     elif args.cmd == "cluster":
         from lash_spark.operators.components import assign_clusters

@@ -45,6 +45,61 @@ def write_distance_tsv(
     )
 
 
+def write_distance_matrix_file(
+    pairs: DataFrame,
+    ids_r: "list[str]",
+    ids_q: "list[str]",
+    path: str,
+    id_a: str = "url_a",
+    id_b: str = "url_b",
+    dist: str = "distance",
+    same_files: bool = False,
+    max_ids: int = 5000,
+) -> int:
+    """The reference's ``--dm`` emit (``/root/reference/src/main.rs:439-447,
+    461-466``; ``src/utils.rs:130-160``): one header line of tab-prefixed
+    query names, then one row per reference id — ``name\\t%.6f...``. With
+    ``same_files`` only the lower triangle (column index <= row index) is
+    printed, and the diagonal is 0 (J3). Row/column order is sorted ids —
+    deterministic, unlike the reference's HashMap iteration order.
+
+    Cells for pairs the LSH engine never verified (below-threshold, so no
+    distance was computed) print EMPTY instead of a fabricated value — the
+    reference's all-pairs engine always fills them; the parquet pairs table
+    remains the scale artifact. Driver-side single-file emit (the reference
+    serializes through one Arc<Mutex<File>>), guarded by ``max_ids``
+    because the matrix is O(n^2) presentation output. Returns the number
+    of data rows written."""
+    if max(len(ids_r), len(ids_q)) > max_ids:
+        raise ValueError(
+            f"--dm matrix would have {len(ids_r)}x{len(ids_q)} cells; "
+            f"use the TSV/parquet pairs output above {max_ids} ids"
+        )
+    cells: dict[tuple[str, str], float] = {}
+    for row in pairs.select(id_a, id_b, dist).collect():
+        cells[(row[0], row[1])] = row[2]
+        if same_files:
+            cells[(row[1], row[0])] = row[2]
+    rows_r = sorted(ids_r)
+    cols_q = sorted(ids_q)
+    col_idx = {q: i for i, q in enumerate(cols_q)}
+    with open(path, "w") as f:
+        f.write("".join(f"\t{q}" for q in cols_q))
+        for i, r in enumerate(rows_r):
+            out = [r]
+            for q in cols_q:
+                if same_files and col_idx[q] > i:
+                    break  # lower triangle only (utils.rs:158)
+                if q == r:
+                    out.append("0.000000")
+                else:
+                    d = cells.get((r, q))
+                    out.append("" if d is None else f"{d:.6f}")
+            f.write("\n" + "\t".join(out))
+        f.write("\n")
+    return len(rows_r)
+
+
 def triangular_matrix(
     pairs: DataFrame, id_a: str = "url_a", id_b: str = "url_b", dist: str = "distance"
 ) -> DataFrame:

@@ -78,6 +78,43 @@ def test_cross_doc_ngram_splits_text_once_per_subtree(spark):
     assert (row.n_grams, row.dup_grams) == (3, 0)
 
 
+# ------------------------------------------------- K5: --dm matrix sink
+
+
+def test_distance_matrix_file_reference_layout(spark, tmp_path):
+    """VERDICT r3 #4: the --dm emit shape must match the reference
+    (main.rs:439-447,461-466 / utils.rs:130-160): a tab-prefixed column
+    header of query names, then one row per reference id with %.6f cells;
+    same_files keeps the lower triangle with a zero diagonal."""
+    from lash_spark.operators.sinks import write_distance_matrix_file
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 0.123456789), ("a", "c", 0.5)],
+        "url_a string, url_b string, distance double",
+    )
+    ids = ["c", "a", "b"]  # unsorted in: sorted out (deterministic order)
+    path = tmp_path / "m.tsv"
+    write_distance_matrix_file(pairs, ids, ids, str(path), same_files=True)
+    lines = path.read_text().splitlines()
+    assert lines[0] == "\ta\tb\tc"
+    assert lines[1] == "a\t0.000000"
+    assert lines[2] == "b\t0.123457\t0.000000"
+    # pair (b, c) was never verified (below threshold) -> empty cell
+    assert lines[3] == "c\t0.500000\t\t0.000000"
+    assert len(lines) == 4
+
+    # cross mode: full rectangle, rows = reference ids, cols = query ids,
+    # role-ordered cells, name-equal cells zero
+    write_distance_matrix_file(pairs, ["a", "b"], ids, str(path), same_files=False)
+    lines = path.read_text().splitlines()
+    assert lines[0] == "\ta\tb\tc"
+    assert lines[1] == "a\t0.000000\t0.123457\t0.500000"
+    assert lines[2] == "b\t\t0.000000\t"
+
+    with pytest.raises(ValueError, match="--dm matrix"):
+        write_distance_matrix_file(pairs, ids, ids, str(path), max_ids=2)
+
+
 # ----------------------------------------- ADVICE r3: bounded IVF sampling
 
 
