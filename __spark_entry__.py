@@ -668,6 +668,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repeated_window_counts"] = repeated_window_counts
 
+    # bounded twin (VERDICT r3 #5): the same span analysis restricted to
+    # near-dup-pair members — the 100-TB-safe mode (per-position explode
+    # only over candidate text; counts over the restricted set)
+    def repeated_window_counts_bounded(spark, sf_dir):
+        from lash_spark.operators.suffixarray import repeated_windows
+
+        dup = q["near_dup_pairs"](spark, sf_dir)
+        members = (
+            dup.select(F.col("doc_id_a").alias("doc_id"))
+            .unionByName(dup.select(F.col("doc_id_b").alias("doc_id")))
+            .distinct()
+        )
+        return repeated_windows(
+            _normed(spark, sf_dir), window=64, id_col="doc_id", top_n=20,
+            candidates=members,
+        )
+
+    q["repeated_window_counts_bounded"] = repeated_window_counts_bounded
+
     # ---- dedup yield analysis: cluster-size histogram over the verified
     # near-dup clusters (how much mass dedup removes at each multiplicity)
     def cluster_size_histogram(spark, sf_dir):
@@ -744,6 +763,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["embedding_near_dups"] = embedding_near_dups
+
+    # ---- crawl-side URL canonicalization + latest-fetch dedup (the stage
+    # upstream of content dedup; reference has no URL layer — north-rule
+    # input_hint columns url/warc_ts). The testdata has no url column, so
+    # a deterministic synthetic crawl log is derived from doc_id INSIDE
+    # the query (the media_features trick): per doc, two url variants that
+    # canonicalize equal (host case, default port, tracking params,
+    # trailing slash), one distinct query-param page (params sorted, not
+    # dropped), and one malformed url that must fall back to itself. The
+    # oracle constructs the expected winners from the same arithmetic.
+    def url_dedup(spark, sf_dir):
+        from lash_spark.operators.normalize import url_dedup_latest
+
+        d = _docs(spark, sf_dir).select("doc_id")
+        host = F.concat(
+            F.lit("site"), (F.col("doc_id") % 50).cast("string"), F.lit(".example")
+        )
+        path = F.concat(F.lit("/p/"), F.col("doc_id").cast("string"))
+        ts = F.col("doc_id") * 10
+        fetches = d.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("https://"), host, path).alias("url"),
+                        (ts + 1).alias("fetch_ts"),
+                    ),
+                    F.struct(
+                        F.concat(
+                            F.lit("https://"), F.upper(host), F.lit(":443"),
+                            path, F.lit("/?utm_source=x&gclid=1"),
+                        ).alias("url"),
+                        (ts + 2).alias("fetch_ts"),
+                    ),
+                    F.struct(
+                        F.concat(
+                            F.lit("https://"), host, path, F.lit("?b=2&a=1")
+                        ).alias("url"),
+                        (ts + 3).alias("fetch_ts"),
+                    ),
+                    F.struct(
+                        F.concat(F.lit("p/"), F.col("doc_id").cast("string")).alias("url"),
+                        (ts + 4).alias("fetch_ts"),
+                    ),
+                )
+            ).alias("f"),
+        ).select("doc_id", "f.url", "f.fetch_ts")
+        return url_dedup_latest(fetches, url_col="url", ts_col="fetch_ts")
+
+    q["url_dedup_latest"] = url_dedup
 
     return q
 
@@ -1108,6 +1177,22 @@ ORDER BY n_docs DESC, n_occ DESC, s ASC
 LIMIT 20
 """
 
+    o["repeated_window_counts_bounded"] = _SHINGLE_PAIRS_CTE + """,
+members AS (
+  SELECT doc_id_a AS doc_id FROM dup UNION SELECT doc_id_b FROM dup
+),
+w AS (
+  SELECT n.doc_id, substr(n.t, i.i, 64) AS s
+  FROM normed n JOIN members m ON m.doc_id = n.doc_id,
+       LATERAL (SELECT unnest(generate_series(1, len(n.t) - 63)) AS i) i
+  WHERE len(n.t) >= 64
+)
+SELECT s AS window, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+FROM w GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occ DESC, s ASC
+LIMIT 20
+"""
+
     o["decontamination_pairs"] = f"""
 WITH normed AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
 wq AS (
@@ -1268,6 +1353,30 @@ FROM p
 JOIN subs sa ON sa.doc_id = p.da
 JOIN subs sb ON sb.doc_id = p.db AND sb.L = sa.L AND sb.s = sa.s
 GROUP BY 1, 2
+"""
+
+    # url_dedup_latest: the synthetic crawl log is derived from doc_id, so
+    # the oracle constructs the expected winner rows directly — per doc:
+    # the canonical page won by its latest fetch (the uppercase-host /
+    # :443 / tracking-param / trailing-slash variant, ts+2), the distinct
+    # query-param page (params sorted, ts+3), and the malformed url that
+    # falls back to itself (ts+4)
+    o["url_dedup_latest"] = """
+SELECT 'https://site' || (doc_id % 50) || '.example/p/' || doc_id AS canonical_url,
+       doc_id,
+       'https://SITE' || (doc_id % 50) || '.EXAMPLE:443/p/' || doc_id
+         || '/?utm_source=x&gclid=1' AS url,
+       doc_id * 10 + 2 AS fetch_ts
+FROM documents
+UNION ALL
+SELECT 'https://site' || (doc_id % 50) || '.example/p/' || doc_id || '?a=1&b=2',
+       doc_id,
+       'https://site' || (doc_id % 50) || '.example/p/' || doc_id || '?b=2&a=1',
+       doc_id * 10 + 3
+FROM documents
+UNION ALL
+SELECT 'p/' || doc_id, doc_id, 'p/' || doc_id, doc_id * 10 + 4
+FROM documents
 """
 
     # minhash_signatures / lsh_candidates / simhash_hamming_pairs /

@@ -357,6 +357,7 @@ def repeated_windows(
     id_col: str = "url",
     text_col: str = "norm_text",
     top_n: int = 20,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Most-duplicated exact windows — the maximal-repeat-style analysis
     the suffix machinery exists for (Lee et al. 2022 report duplicated
@@ -366,13 +367,23 @@ def repeated_windows(
     (n_docs desc, n_occ desc, window asc) — a total order, so the result
     set is deterministic.
 
+    ``candidates`` (ids, e.g. near-dup cluster members) restricts the
+    span analysis to those documents — the bounded mode that makes this
+    runnable at corpus scale (VERDICT r3 #5): counts are then over the
+    restricted set, and the per-position explode touches only candidate
+    text instead of every character position in the corpus. Corpus-wide
+    mode remains for analysis-tier jobs at moderate scale.
+
     Shape: window keys via the zero-round packed keying when the alphabet
     compacts (raw-substring keys otherwise — exact either way), one
     groupBy(key) with a min-(id,pos) representative, then text recovery
     for the tiny surviving group set via an equi-join back to the corpus
     (broadcast-sized: only windows duplicated ACROSS docs survive the
     HAVING filter)."""
-    d = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    src = docs.select(F.col(id_col), F.col(text_col))
+    if candidates is not None:
+        src = src.join(candidates.select(id_col).distinct(), id_col, "left_semi")
+    d = src.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     keys = _packed_window_keys(d, window)
     if keys is None:
         # huge/non-BMP alphabet: key on the raw substring (wider shuffle
