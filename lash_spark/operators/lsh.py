@@ -240,9 +240,9 @@ def cross_lsh_candidate_pairs(
 def simhash_chunks(sig_df: DataFrame, id_col: str = "url", chunks: int = 4) -> DataFrame:
     """SimHash -> (id, chunk_id, chunk_val) keys. Pigeonhole: two fingerprints
     within Hamming distance t < chunks share at least one exact chunk, so the
-    per-chunk equi-join is a complete candidate generator for d <= chunks-1
-    (multi-probe rotations would extend beyond that; not needed at t=3,q=4).
-    """
+    per-chunk equi-join is a complete candidate generator for d <= chunks-1;
+    :func:`simhash_probe_chunks` extends it to t >= chunks via bit-flip
+    probes (generalized pigeonhole)."""
     width = 64 // chunks
     mask = (1 << width) - 1
     if "n_windows" in sig_df.columns:  # same garbage-bucket guard as bands
@@ -257,6 +257,42 @@ def simhash_chunks(sig_df: DataFrame, id_col: str = "url", chunks: int = 4) -> D
     )
 
 
+def simhash_probe_chunks(
+    sig_df: DataFrame, id_col: str = "url", chunks: int = 4, flips: int = 1
+) -> DataFrame:
+    """Multi-probe chunk keys: each chunk's value PLUS every value within
+    Hamming distance <= ``flips`` of it (all 1-bit, then 2-bit, flip
+    combinations — pure JVM array transforms, no Python). Joining these
+    PROBE keys against the EXACT keys of :func:`simhash_chunks` is a
+    complete candidate generator for Hamming <= (flips+1)*chunks - 1 by
+    the generalized pigeonhole: t total differing bits spread over
+    ``chunks`` blocks leave some block with <= floor(t/chunks) <= flips
+    of them, and probing flips that block onto the partner's exact value.
+    Probe fan-out per doc is chunks * (1 + w + C(w,2)) at flips=2
+    (w = 64/chunks) — bounded and known at plan time."""
+    if not 1 <= flips <= 2:
+        raise NotImplementedError(
+            "simhash multi-probe supports 1 or 2 bit flips per chunk "
+            f"(hamming <= {3 * chunks - 1} at {chunks} chunks); got flips={flips}"
+        )
+    keys = simhash_chunks(sig_df, id_col, chunks)
+    w = 64 // chunks
+    parts = [
+        "array(key)",
+        f"transform(sequence(0, {w - 1}), k -> key ^ shiftleft(CAST(1 AS BIGINT), k))",
+    ]
+    if flips == 2:
+        parts.append(
+            f"flatten(transform(sequence(0, {w - 2}), k1 -> "
+            f"transform(sequence(k1 + 1, {w - 1}), k2 -> "
+            "key ^ shiftleft(CAST(1 AS BIGINT), k1) ^ shiftleft(CAST(1 AS BIGINT), k2))))"
+        )
+    probe = F.expr("concat(" + ", ".join(parts) + ")")
+    return keys.select(
+        F.col(id_col), "band_id", F.explode(probe).alias("key")
+    )
+
+
 def simhash_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "url",
@@ -266,11 +302,28 @@ def simhash_candidate_pairs(
     salt_buckets: int = 8,
 ) -> DataFrame:
     """Hamming-ball near-dup candidates (O3): chunk equi-join then verify
-    bit_count(a^b) <= t JVM-side."""
-    assert max_hamming < chunks, "pigeonhole requires t < chunks"
-    keys = simhash_chunks(sig_df, id_col, chunks)
-    pairs = pairs_from_keys(keys, id_col=id_col, max_bucket=max_bucket, salt_buckets=salt_buckets)
+    bit_count(a^b) <= t JVM-side. For t < chunks the exact chunk join is
+    complete (pigeonhole); for t >= chunks the generator joins multi-probe
+    keys (floor(t/chunks) bit flips per chunk) against exact keys, so the
+    operator is no longer capped at t = chunks - 1 (VERDICT r3 #8)."""
     a, b = f"{id_col}_a", f"{id_col}_b"
+    flips = max_hamming // chunks
+    keys = simhash_chunks(sig_df, id_col, chunks)
+    if flips == 0:
+        pairs = pairs_from_keys(
+            keys, id_col=id_col, max_bucket=max_bucket, salt_buckets=salt_buckets
+        )
+    else:
+        probe = simhash_probe_chunks(sig_df, id_col, chunks, flips)
+        cp = cross_pairs_from_keys(
+            probe, keys, id_col=id_col, max_bucket=max_bucket, salt_buckets=salt_buckets
+        )
+        qn, rn = f"{id_col}_q", f"{id_col}_r"
+        pairs = (
+            cp.filter(F.col(qn) != F.col(rn))
+            .select(F.least(qn, rn).alias(a), F.greatest(qn, rn).alias(b))
+            .dropDuplicates([a, b])
+        )
     sim = sig_df.select(F.col(id_col), "simhash")
     return (
         pairs.join(sim.withColumnsRenamed({id_col: a, "simhash": "sim_a"}), a)

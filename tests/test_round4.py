@@ -78,6 +78,57 @@ def test_cross_doc_ngram_splits_text_once_per_subtree(spark):
     assert (row.n_grams, row.dup_grams) == (3, 0)
 
 
+# ------------------------------------------- O3: SimHash multi-probe
+
+
+def _hamming_pairs(vals: "dict[int, int]", t: int) -> set:
+    out = set()
+    ids = sorted(vals)
+    for i, x in enumerate(ids):
+        for y in ids[i + 1 :]:
+            h = (vals[x] ^ vals[y]).bit_count()
+            if h <= t:
+                out.add((x, y, h))
+    return out
+
+
+@pytest.mark.parametrize("t", [5, 9])
+def test_simhash_multiprobe_matches_brute_force(spark, t):
+    """VERDICT r3 #8 done-criterion: the multi-probe generator (bit-flip
+    probes joined against exact chunk keys) is complete at t >= chunks —
+    parity with brute-force bit_count(xor) over all pairs, including
+    pairs STRICTLY beyond the exact-chunk guarantee (hamming > 3)."""
+    from lash_spark.operators.lsh import simhash_candidate_pairs
+
+    rng = np.random.default_rng(19)
+    vals: dict[int, int] = {}
+    uid = 0
+    for _ in range(12):
+        base = int(rng.integers(0, 1 << 62, dtype=np.int64))
+        for n_flips in (0, 2, 4, 5, 7, 9):
+            v = base
+            for k in map(int, rng.choice(63, size=n_flips, replace=False)):
+                v ^= 1 << k
+            vals[uid] = v
+            uid += 1
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vals.items()], "url bigint, simhash bigint"
+    )
+    got = {
+        (r.url_a, r.url_b, r.hamming)
+        for r in simhash_candidate_pairs(
+            df, id_col="url", chunks=4, max_hamming=t
+        ).collect()
+    }
+    want = _hamming_pairs(vals, t)
+    assert got == want
+    # teeth: the truth set must contain pairs the exact-chunk join alone
+    # (t <= 3) was not guaranteed to find
+    assert any(h > 3 for _, _, h in want)
+    if t == 9:
+        assert any(h > 7 for _, _, h in want)  # needs the 2-flip probes
+
+
 # ------------------------------------------------- K5: --dm matrix sink
 
 
