@@ -189,6 +189,12 @@ class PipelineConfig:
     # degree cap for boilerplate mega-clusters (see verify_pairs); None =
     # emit the full pair set (fixture-recall workloads)
     max_pairs_per_doc: int | None = None
+    # partition-granular candidate resume (O6): >1 splits the candidate
+    # stage into this many band-group waves, each committed + manifested
+    # independently (run_partitioned_stage), so a killed run loses at most
+    # one wave. 1 = single-job stage (the small-scale default; at 100 TB
+    # set waves so one wave's shuffle fits the failure budget)
+    candidate_waves: int = 1
     # simhash hamming-ball
     simhash_chunks: int = 4
     simhash_max_hamming: int = 3

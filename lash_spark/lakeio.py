@@ -41,8 +41,13 @@ class ParquetCatalog:
         return str(self.root / table)
 
     def exists(self, table: str) -> bool:
+        # recursive glob: partitioned tables keep their files under
+        # part=<v>/ dirs, and the dynamic-overwrite committer writes no
+        # _SUCCESS marker at the table root
         p = self.root / table
-        return p.exists() and (any(p.glob("*.parquet")) or any(p.glob("**/_SUCCESS")))
+        return p.exists() and (
+            any(p.glob("**/*.parquet")) or any(p.glob("**/_SUCCESS"))
+        )
 
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
@@ -55,6 +60,25 @@ class ParquetCatalog:
 
     def append(self, df: DataFrame, table: str):
         df.write.mode("append").parquet(self.path(table))
+
+    def overwrite_partitions(self, df: DataFrame, table: str, partition_by):
+        """Dynamic partition overwrite (the Iceberg
+        ``writeTo().overwritePartitions()`` analog): only the partitions
+        present in ``df`` are replaced; everything else is untouched. This
+        is what makes a partition-wave write idempotent under replay."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(self.path(table))
+        )
+
+    def drop(self, table: str):
+        import shutil
+
+        p = self.root / table
+        if p.exists():
+            shutil.rmtree(p)
 
     # ---- properties (Iceberg table-properties analog; holds run params —
     # the reference's *_parameters.json, main.rs:254-276)
@@ -90,6 +114,34 @@ class ParquetCatalog:
         m = self._marker(stage)
         if m.exists():
             m.unlink()
+        # a stale stage invalidates its per-partition completion manifest
+        # too (partition-granular stages, run_partitioned_stage)
+        self.drop(self._manifest(stage))
+
+    # ---- per-partition completion manifests (O6 north_rule: "restarts
+    # without recomputing completed signature or band partitions")
+    def _manifest(self, stage: str) -> str:
+        return f"{stage}_partitions"
+
+    def completed_partitions(self, stage: str, params_hash: str) -> "set[str]":
+        t = self._manifest(stage)
+        if not self.exists(t):
+            return set()
+        rows = (
+            self.read(t)
+            .filter(F.col("params_hash") == params_hash)
+            .select("part")
+            .collect()
+        )
+        return {r.part for r in rows}
+
+    def mark_partitions(self, stage: str, params_hash: str, parts, output_rows=None):
+        now = time.time()
+        df = self.spark.createDataFrame(
+            [(stage, params_hash, str(p), output_rows, now) for p in parts],
+            "stage string, params_hash string, part string, output_rows bigint, ts double",
+        )
+        self.append(df, self._manifest(stage))
 
     # ---- lineage / metrics rows (O6)
     def log_metrics(
@@ -149,6 +201,76 @@ def run_stage(
     catalog.log_metrics(stage, params_hash, (time.monotonic() - t0) * 1000, output_rows=n)
     catalog.mark_stage(stage, params_hash, output_rows=n)
     return out, False
+
+
+def run_partitioned_stage(
+    catalog: ParquetCatalog,
+    stage: str,
+    params_hash: str,
+    part_values,
+    builder,
+    part_col: str = "part",
+    wave_size: int = 1,
+    output_table: str | None = None,
+):
+    """Partition-granular resumable stage (O6): the north-rule promise that
+    a killed run "restarts without recomputing completed signature or band
+    partitions", at sub-stage granularity.
+
+    ``part_values`` is the full deterministic list of partition-unit values
+    for this stage; ``builder(values)`` returns a DataFrame whose
+    ``part_col`` column only holds those values. Values run in
+    deterministic waves of ``wave_size``:
+
+    1. the wave's output dynamically OVERWRITES only its partitions
+       (idempotent replay — a wave that crashed between the data commit
+       and the manifest append is simply rewritten);
+    2. partition-completion rows append to the ``{stage}_partitions``
+       manifest, keyed by params_hash;
+    3. a metrics row records the wave (lineage evidence).
+
+    A rerun anti-joins the value list against the manifest and recomputes
+    NOTHING already manifested; when every value is manifested the stage
+    is marked complete and skipped wholesale. A params_hash change drops
+    the table + manifest and rebuilds from scratch (F6 semantics).
+    """
+    table = output_table or stage
+    if catalog.properties(table).get("params_hash") not in (None, params_hash):
+        catalog.drop(table)
+        catalog.drop(catalog._manifest(stage))
+        catalog.clear_stage(stage)
+    catalog.set_properties(table, {"params_hash": params_hash})
+    done = catalog.completed_partitions(stage, params_hash)
+    if not catalog.exists(table):
+        # nothing durable on disk (every manifested wave wrote zero rows,
+        # or the table was lost): replay everything — dynamic overwrite
+        # makes the replay idempotent
+        done = set()
+    todo = [v for v in part_values if str(v) not in done]
+    if not todo:
+        if not catalog.stage_complete(stage, params_hash):
+            catalog.mark_stage(stage, params_hash)
+        return catalog.read(table), True
+    last_df = None
+    for i in range(0, len(todo), wave_size):
+        wave = todo[i : i + wave_size]
+        t0 = time.monotonic()
+        df = last_df = builder(list(wave))
+        catalog.overwrite_partitions(df, table, [part_col])
+        catalog.mark_partitions(stage, params_hash, wave)
+        catalog.log_metrics(
+            stage,
+            params_hash,
+            (time.monotonic() - t0) * 1000,
+            status="wave_complete",
+            parts=[str(p) for p in wave],
+        )
+    catalog.mark_stage(stage, params_hash)
+    if catalog.exists(table):
+        return catalog.read(table), False
+    # every wave was empty: dynamic overwrite wrote no files — return an
+    # empty frame with the builder's schema
+    return last_df.limit(0), False
 
 
 def resume_delta(

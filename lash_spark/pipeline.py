@@ -87,7 +87,40 @@ def dedup_pipeline(
             star_threshold=cfg.star_threshold,
         )
 
-    if catalog is not None:
+    if catalog is not None and cfg.candidate_waves > 1:
+        # partition-granular mode (O6): bands are grouped into
+        # `candidate_waves` deterministic waves; each wave's pairs commit +
+        # manifest independently (run_partitioned_stage), so a killed run
+        # resumes losing at most one wave. Pairs can surface in several
+        # waves (dedup inside pairs_from_keys is per-wave), so the read
+        # side dedups across waves before verification.
+        from lash_spark.lakeio import run_partitioned_stage
+        from lash_spark.operators.lsh import explode_bands, pairs_from_keys
+
+        n_waves = min(cfg.candidate_waves, plan.bands)
+
+        def build_wave(wave_ids):
+            keyed = explode_bands(sigs, id_col).filter(
+                (F.col("band_id") % n_waves).isin([int(w) for w in wave_ids])
+            )
+            pairs = pairs_from_keys(
+                keyed,
+                id_col=id_col,
+                max_bucket=cfg.max_band_bucket,
+                salt_buckets=cfg.salt_buckets,
+                star_threshold=cfg.star_threshold,
+            )
+            # single-wave builder calls => the literal is the wave id
+            return pairs.withColumn("_wave", F.lit(int(wave_ids[0])))
+
+        raw, _ = run_partitioned_stage(
+            catalog, "candidates", phash, list(range(n_waves)), build_wave,
+            part_col="_wave",
+        )
+        candidates = raw.drop("_wave").dropDuplicates(
+            [f"{id_col}_a", f"{id_col}_b"]
+        )
+    elif catalog is not None:
         candidates, _ = run_stage(catalog, "candidates", phash, build_candidates)
     else:
         # pairs_from_keys localCheckpoints eagerly, so the candidate set is
