@@ -170,6 +170,165 @@ def _build_queries(sf_dir: str):
     ]
 
 
+def _staged_dedup(spark, docs, cfg) -> dict:
+    """The flagship pipeline with per-stage wall attribution: each stage is
+    materialized (persist + count) before the next starts, so its seconds
+    are its own. Same stages/config as dedup_pipeline."""
+    from lash_spark.operators.components import assign_clusters
+    from lash_spark.operators.exact import exact_dup_pairs
+    from lash_spark.operators.lsh import lsh_candidate_pairs
+    from lash_spark.operators.normalize import with_normalized_text
+    from lash_spark.operators.signatures import build_signatures
+    from lash_spark.operators.verify import verify_pairs
+
+    out: dict = {"stages": {}, "rows": {}}
+
+    def stage(name, fn):
+        t0 = time.monotonic()
+        n = fn()
+        out["stages"][name] = round(time.monotonic() - t0, 2)
+        out["rows"][name] = int(n)
+
+    params, plan = cfg.params, cfg.lsh_plan()
+    normed = with_normalized_text(docs.select("url", "text"), "text").persist()
+    sigs = build_signatures(normed, params, plan, id_col="url").persist()
+    stage("signatures", sigs.count)
+    cands = None
+
+    def _cands():
+        nonlocal cands
+        cands = lsh_candidate_pairs(
+            sigs, id_col="url", max_bucket=cfg.max_band_bucket,
+            salt_buckets=cfg.salt_buckets, star_threshold=cfg.star_threshold,
+        )
+        return cands.count()
+
+    stage("candidates", _cands)
+    verified = None
+
+    def _verify():
+        nonlocal verified
+        verified = verify_pairs(
+            cands, normed, params, id_col="url", threshold=cfg.jaccard_threshold,
+            sig_df=sigs, max_pairs_per_doc=cfg.max_pairs_per_doc,
+        ).persist()
+        return verified.count()
+
+    stage("verify", _verify)
+
+    def _clusters():
+        edges = (
+            verified.select("url_a", "url_b")
+            .unionByName(exact_dup_pairs(normed, id_col="url"))
+            .dropDuplicates(["url_a", "url_b"])
+        )
+        return assign_clusters(docs.select("url"), edges, id_col="url").count()
+
+    stage("clusters", _clusters)
+    out["total"] = round(sum(out["stages"].values()), 2)
+    for df in (normed, sigs, verified):
+        df.unpersist()
+    return out
+
+
+def run_bigscale(n_docs: int = 500_000, reps: int = 2):
+    """VERDICT r3 #2: one-notch scale-up evidence (~sf1; default 500k synth
+    docs ~ 10x the sf0.1 row count) for the flagship pipeline (with stage
+    attribution), near_dup_pairs, and substring_pass. Rep-major medians,
+    same throttling discipline as run_default. Writes BENCH/BIGSCALE.json
+    (merged into the default bench JSON under "bigscale") and prints one
+    JSON line. Corpus generation is excluded from every measure."""
+    from lash_spark.config import PipelineConfig, SketchParams
+    from lash_spark.operators.normalize import with_normalized_text
+    from lash_spark.operators.substring import exact_substring_pairs
+    from lash_spark.session import get_spark
+    from lash_spark.synth import generate_pages
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_BIGSCALE_DOCS", n_docs))
+    reps = int(os.environ.get("SPARK_GRAFT_BIGSCALE_REPS", reps))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    extra = {"spark.driver.memory": "48g"}
+    if cpus >= 16:
+        extra["spark.task.cpus"] = "2"  # see BENCH/BASELINE.md profiling
+    spark = get_spark(
+        app_name="lash_bigscale", master=f"local[{cpus}]",
+        shuffle_partitions=256, extra_conf=extra,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    path = f"/tmp/lash_scaling_input_{n_docs}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        generate_pages(spark, n_docs, seed=42, partitions=256).write.mode(
+            "overwrite"
+        ).parquet(path)
+    docs = spark.read.parquet(path)
+    cfg = PipelineConfig(max_pairs_per_doc=64)  # cluster-assignment workload
+    params = SketchParams()
+
+    def q_pipeline():
+        return _staged_dedup(spark, docs, cfg)
+
+    def q_near_dup():
+        from lash_spark.operators.lsh import lsh_candidate_pairs
+        from lash_spark.operators.signatures import build_signatures
+        from lash_spark.operators.verify import verify_pairs
+
+        d = with_normalized_text(docs.select("url", "text"), "text")
+        sigs = build_signatures(d, params, cfg.lsh_plan(), id_col="url").persist()
+        cands = lsh_candidate_pairs(
+            sigs, id_col="url", max_bucket=256, salt_buckets=8, star_threshold=512
+        ).persist()
+        n = verify_pairs(
+            cands, d, params, id_col="url", threshold=0.8, sig_df=sigs,
+            max_pairs_per_doc=64,
+        ).count()
+        sigs.unpersist()
+        cands.unpersist()
+        return {"rows": n}
+
+    def q_substring():
+        d = with_normalized_text(docs.select("url", "text"), "text")
+        return {"rows": exact_substring_pairs(d, min_len=64, k=32, id_col="url").count()}
+
+    queries = [
+        ("full_pipeline", q_pipeline),
+        ("near_dup_pairs", q_near_dup),
+        ("substring_pass", q_substring),
+    ]
+    samples: dict[str, list] = {n: [] for n, _ in queries}
+    for rep in range(reps):
+        for name, fn in queries:
+            t0 = time.monotonic()
+            r = fn()
+            r["wall_sec"] = round(time.monotonic() - t0, 2)
+            samples[name].append(r)
+            print(f"# bigscale rep {rep} {name}: {json.dumps(r)}",
+                  file=sys.stderr, flush=True)
+    result: dict = {"n_docs": n_docs, "reps": reps, "cpus": cpus, "queries": {}}
+    for name, _ in queries:
+        runs = sorted(samples[name], key=lambda s: s["wall_sec"])
+        med = runs[len(runs) // 2]
+        result["queries"][name] = {
+            "median_sec": med["wall_sec"],
+            "spread_sec": [runs[0]["wall_sec"], runs[-1]["wall_sec"]],
+            **{k: v for k, v in med.items() if k != "wall_sec"},
+        }
+    result["docs_per_sec_pipeline"] = round(
+        n_docs / result["queries"]["full_pipeline"]["median_sec"], 1
+    )
+    import subprocess
+
+    rev = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True
+    ).stdout.strip()
+    result["recorded_at_rev"] = rev
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BIGSCALE.json", "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    spark.stop()
+    return result
+
+
 def run_default():
     from lash_spark.session import get_spark
 
@@ -234,6 +393,14 @@ def run_default():
         "rows": rows,
         "cpus": cpus,
     }
+    # attach the recorded one-notch scale-up evidence (run separately via
+    # `python bench.py --bigscale` — a ~500k-doc suite too slow to re-pay
+    # per round; recorded_at_rev pins the code it measured)
+    try:
+        with open("BENCH/BIGSCALE.json") as f:
+            out["bigscale"] = json.load(f)
+    except FileNotFoundError:
+        pass
     print(json.dumps(out))
     spark.stop()
 
@@ -454,11 +621,13 @@ per-round work is itself distributed.
 
 
 if __name__ == "__main__":
+    n = None
+    for a in sys.argv:
+        if a.startswith("--docs="):
+            n = int(a.split("=")[1])
     if "--scaling" in sys.argv:
-        n = 100_000
-        for a in sys.argv:
-            if a.startswith("--docs="):
-                n = int(a.split("=")[1])
-        run_scaling(n)
+        run_scaling(n or 100_000)
+    elif "--bigscale" in sys.argv:
+        run_bigscale(n or 500_000)
     else:
         run_default()
