@@ -286,14 +286,42 @@ def run_bigscale(n_docs: int = 500_000, reps: int = 2):
         return {"rows": n}
 
     def q_substring():
+        # exhaustive pair set: the synth corpus's 2% template family
+        # (m ~ n_docs/50 docs sharing one hot block) makes this pass
+        # quadratic-in-m through the salt tier. MEASURED at 500k docs
+        # (2026-08-17): the 10k-doc family => ~m^2/2 pairs per shared
+        # fingerprint key, run aborted at >37 min — which is the evidence
+        # for WHY the star tier exists on this operator. Only run
+        # exhaustively at sizes where the family is salt-tier-safe.
         d = with_normalized_text(docs.select("url", "text"), "text")
         return {"rows": exact_substring_pairs(d, min_len=64, k=32, id_col="url").count()}
+
+    def q_substring_star():
+        # web-scale configuration: boilerplate-family buckets star-link
+        # (linear volume, connectivity preserved) instead of emitting
+        # m(m-1)/2 template pairs
+        d = with_normalized_text(docs.select("url", "text"), "text")
+        return {
+            "rows": exact_substring_pairs(
+                d, min_len=64, k=32, id_col="url", star_threshold=4000
+            ).count()
+        }
 
     queries = [
         ("full_pipeline", q_pipeline),
         ("near_dup_pairs", q_near_dup),
-        ("substring_pass", q_substring),
+        ("substring_pass_star", q_substring_star),
     ]
+    if n_docs <= 50_000:
+        queries.append(("substring_pass", q_substring))
+    else:
+        print(
+            "# substring_pass (exhaustive) skipped at n_docs > 50k: the "
+            "template family's quadratic pair volume is the measured "
+            "scale-killer (see q_substring comment); substring_pass_star "
+            "is the scale configuration",
+            file=sys.stderr, flush=True,
+        )
     samples: dict[str, list] = {n: [] for n, _ in queries}
     for rep in range(reps):
         for name, fn in queries:
@@ -315,6 +343,13 @@ def run_bigscale(n_docs: int = 500_000, reps: int = 2):
     result["docs_per_sec_pipeline"] = round(
         n_docs / result["queries"]["full_pipeline"]["median_sec"], 1
     )
+    if n_docs > 50_000:
+        result["queries"]["substring_pass"] = {
+            "skipped": "exhaustive mode measured non-viable at this size "
+            "(500k run aborted >37 min: 2% template family = m~n/50 docs "
+            "per winnow-fingerprint bucket => ~m^2/2 salt-tier pairs per "
+            "key); substring_pass_star is the scale configuration"
+        }
     import subprocess
 
     rev = subprocess.run(
@@ -322,8 +357,18 @@ def run_bigscale(n_docs: int = 500_000, reps: int = 2):
     ).stdout.strip()
     result["recorded_at_rev"] = rev
     os.makedirs("BENCH", exist_ok=True)
+    # one entry per corpus size, so a quick 100k medians sweep and the
+    # 500k scale point coexist in the recorded evidence
+    try:
+        with open("BENCH/BIGSCALE.json") as f:
+            all_sizes = json.load(f)
+        if "queries" in all_sizes:  # legacy single-run layout
+            all_sizes = {str(all_sizes["n_docs"]): all_sizes}
+    except FileNotFoundError:
+        all_sizes = {}
+    all_sizes[str(n_docs)] = result
     with open("BENCH/BIGSCALE.json", "w") as f:
-        json.dump(result, f, indent=1)
+        json.dump(all_sizes, f, indent=1)
     print(json.dumps(result))
     spark.stop()
     return result
@@ -617,6 +662,12 @@ has no serial driver-side bottleneck beyond the CC iteration loop, whose
 per-round work is itself distributed.
 """
         )
+        # preserve the recorded one-notch scale-up section across rewrites
+        try:
+            with open("BENCH/BIGSCALE.md") as g:
+                f.write("\n" + g.read())
+        except FileNotFoundError:
+            pass
     return out
 
 

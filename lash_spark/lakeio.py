@@ -235,7 +235,11 @@ def run_partitioned_stage(
     the table + manifest and rebuilds from scratch (F6 semantics).
     """
     table = output_table or stage
-    if catalog.properties(table).get("params_hash") not in (None, params_hash):
+    prior = catalog.properties(table).get("params_hash")
+    if prior != params_hash and (prior is not None or catalog.exists(table)):
+        # params changed, OR the table exists without a partitioned-runner
+        # provenance tag (e.g. written by single-job run_stage with a
+        # different layout): drop and rebuild
         catalog.drop(table)
         catalog.drop(catalog._manifest(stage))
         catalog.clear_stage(stage)

@@ -205,6 +205,7 @@ def exact_substring_pairs(
     text_col: str = "norm_text",
     max_bucket: int = 2000,
     candidates: DataFrame | None = None,
+    star_threshold: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b) for pairs sharing an exact substring of length
     >= min_len. If ``candidates`` is given (e.g. urls already inside
@@ -213,7 +214,17 @@ def exact_substring_pairs(
 
     Winnowed-fingerprint equi-join (complete generator) -> per-doc
     length-min_len window-hash sets computed once (map-only Arrow UDF) ->
-    JVM `arrays_overlap` verify. No per-pair Python anywhere."""
+    JVM `arrays_overlap` verify. No per-pair Python anywhere.
+
+    ``star_threshold``: boilerplate families (one shared block across m
+    docs) put that block's fingerprints in m-sized buckets, and pair
+    volume is quadratic in m even through the salt tier — a 10k-doc
+    template family is ~50M pairs. Passing a star threshold routes such
+    buckets to star-linking (linear volume, connectivity preserved) —
+    the web-scale configuration, same trade-off as the near-dup tier-3
+    (measured: the 500k-doc bench corpus's 2% template family without it
+    dominates the whole pass). Default None keeps the exhaustive pair
+    set (analysis / small-corpus mode)."""
     d = docs.select(F.col(id_col), F.col(text_col))
     if candidates is not None:
         d = d.join(candidates.select(id_col).distinct(), id_col, "left_semi")
@@ -223,7 +234,9 @@ def exact_substring_pairs(
         .select(F.col(id_col), F.explode("fp").alias("key"))
         .withColumn("band_id", F.lit(0))
     )
-    pairs = pairs_from_keys(keyed, id_col=id_col, max_bucket=max_bucket)
+    pairs = pairs_from_keys(
+        keyed, id_col=id_col, max_bucket=max_bucket, star_threshold=star_threshold
+    )
     a, b = f"{id_col}_a", f"{id_col}_b"
     cand_ids = (
         pairs.select(F.col(a).alias(id_col))

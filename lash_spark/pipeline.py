@@ -98,6 +98,10 @@ def dedup_pipeline(
         from lash_spark.operators.lsh import explode_bands, pairs_from_keys
 
         n_waves = min(cfg.candidate_waves, plan.bands)
+        # wave membership (band_id % n_waves) is part of the partition
+        # semantics: a different wave count must invalidate the manifest
+        # even under identical sketch params
+        wave_hash = f"{phash}:w{n_waves}"
 
         def build_wave(wave_ids):
             keyed = explode_bands(sigs, id_col).filter(
@@ -114,7 +118,7 @@ def dedup_pipeline(
             return pairs.withColumn("_wave", F.lit(int(wave_ids[0])))
 
         raw, _ = run_partitioned_stage(
-            catalog, "candidates", phash, list(range(n_waves)), build_wave,
+            catalog, "candidates", wave_hash, list(range(n_waves)), build_wave,
             part_col="_wave",
         )
         candidates = raw.drop("_wave").dropDuplicates(

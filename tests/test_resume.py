@@ -122,7 +122,11 @@ def test_pipeline_partitioned_candidates_resume(spark, tiny_pages, tmp_path):
             dedup_pipeline(docs, cfg3, catalog=cat2)
     finally:
         lakeio_mod.ParquetCatalog.overwrite_partitions = orig
-    done_before = cat2.completed_partitions("candidates", cfg3.params.params_hash())
+    # manifest rows are keyed by the composite (params, wave-count) hash:
+    # changing candidate_waves must invalidate them even under identical
+    # sketch params
+    wave_hash = f"{cfg3.params.params_hash()}:w3"
+    done_before = cat2.completed_partitions("candidates", wave_hash)
     assert done_before == {"0", "1"}  # two waves survived the kill
 
     res = dedup_pipeline(docs, cfg3, catalog=cat2)  # resume
