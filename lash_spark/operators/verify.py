@@ -99,6 +99,15 @@ def exact_jaccard_join(
     sets = (
         docs.join(cand_ids, id_col, "left_semi")
         .select(F.col(id_col), make_shingle_set_udf(k)(F.col(text_col)).alias("sh"))
+        # materialize ONCE: the sets subtree feeds both join sides with
+        # DIFFERENT join keys, so Spark's exchange reuse never fires and
+        # the shingle UDF (plus the semi-join above it) would run twice.
+        # Measured (tools/verify_profile.py experiment, 20k docs): ~2x on
+        # the whole verify stage. Lazy checkpoint: the first consumer
+        # materializes it, the second reuses the stored blocks — no
+        # standalone materialization job. Bounded by candidate MEMBERS,
+        # not pairs.
+        .localCheckpoint(eager=False)
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -142,13 +151,25 @@ def cross_verify_pairs(
             .withColumn("est_jaccard", minhash_jaccard_expr("mh_q", "mh_r"))
             .filter(F.col("est_jaccard") >= threshold - estimate_margin)
             .drop("mh_q", "mh_r")
+            # feeds both member-id projections + the final join (see
+            # verify_pairs): checkpoint so the estimate join runs once
+            .localCheckpoint(eager=False)
         )
     sh_udf = make_shingle_set_udf(params.shingle_k)
 
     def _sets(docs, pair_col):
+        # q and r sets are distinct tables here (no shared subtree), but
+        # `pairs` itself feeds the id projection AND both final joins;
+        # materializing keeps each side's shingle UDF to one pass over
+        # its members (see exact_jaccard_join)
         ids = pairs.select(F.col(pair_col).alias(id_col)).distinct()
-        return docs.join(ids, id_col, "left_semi").select(
-            F.col(id_col).alias(pair_col), sh_udf(F.col(text_col)).alias(f"sh_{pair_col[-1]}")
+        return (
+            docs.join(ids, id_col, "left_semi")
+            .select(
+                F.col(id_col).alias(pair_col),
+                sh_udf(F.col(text_col)).alias(f"sh_{pair_col[-1]}"),
+            )
+            .localCheckpoint(eager=False)
         )
 
     inter = F.size(F.array_intersect("sh_q", "sh_r"))
@@ -208,6 +229,10 @@ def verify_pairs(
                     .filter(F.col("_rk") <= max_pairs_per_doc)
                     .drop("_rk")
                 )
+        # the prefiltered pair set feeds three consumers (both member-id
+        # projections + the final join): checkpoint (lazily) so the
+        # estimate join + degree-cap windows run once, not per branch
+        pairs = pairs.localCheckpoint(eager=False)
     if method == "shingle_join":
         out = exact_jaccard_join(pairs, docs, params.shingle_k, id_col, text_col)
     else:
