@@ -438,15 +438,28 @@ def run_default():
         "rows": rows,
         "cpus": cpus,
     }
-    # attach the recorded one-notch scale-up evidence (run separately via
-    # `python bench.py --bigscale` — a ~500k-doc suite too slow to re-pay
-    # per round; recorded_at_rev pins the code it measured)
+    # Reference the recorded one-notch scale-up evidence by PATH, never
+    # inline: the driver captures only the tail of stdout, and inlining the
+    # multi-KB bigscale blob in round 4 pushed the final JSON line past that
+    # capture window — the round's sf0.1 medians were lost (parsed: null in
+    # BENCH_r04.json). A compact summary (sizes + docs/s) keeps the headline
+    # scale evidence machine-readable without risking the suite record.
     try:
         with open("BENCH/BIGSCALE.json") as f:
-            out["bigscale"] = json.load(f)
+            bigscale = json.load(f)
+        out["bigscale_file"] = "BENCH/BIGSCALE.json"
+        out["bigscale_docs_per_sec"] = {
+            size: run.get("docs_per_sec_pipeline")
+            for size, run in sorted(bigscale.items(), key=lambda kv: int(kv[0]))
+            if isinstance(run, dict)
+        }
     except FileNotFoundError:
         pass
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) > 1800:  # stay safely inside the driver's 2 KB tail capture
+        out.pop("spread", None)
+        line = json.dumps(out)
+    print(line)
     spark.stop()
 
 

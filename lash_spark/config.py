@@ -189,6 +189,14 @@ class PipelineConfig:
     # degree cap for boilerplate mega-clusters (see verify_pairs); None =
     # emit the full pair set (fixture-recall workloads)
     max_pairs_per_doc: int | None = None
+    # carry each document's sorted-unique shingle-hash set through the
+    # signature stage (one extra np.unique over window hashes already in
+    # hand) so verify never re-shingles — removes the UDF that was 61% of
+    # the verify stage. Space-time trade: signatures grow by ~8 bytes per
+    # unique shingle (≈ the normalized text size). Set False for corpora
+    # where candidates are a tiny fraction of documents and re-shingling
+    # only candidate members is cheaper than storing sets for everyone.
+    persist_shingles: bool = True
     # partition-granular candidate resume (O6): >1 splits the candidate
     # stage into this many band-group waves, each committed + manifested
     # independently (run_partitioned_stage), so a killed run loses at most

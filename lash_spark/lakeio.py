@@ -99,11 +99,13 @@ class ParquetCatalog:
         return d / f"{stage}.json"
 
     def stage_complete(self, stage: str, params_hash: str) -> bool:
-        m = self._marker(stage)
-        if not m.exists():
-            return False
-        info = json.loads(m.read_text())
+        info = self.stage_info(stage)
         return info.get("params_hash") == params_hash and info.get("status") == "complete"
+
+    def stage_info(self, stage: str) -> dict:
+        """The stage's completion-marker record ({} when never marked)."""
+        m = self._marker(stage)
+        return json.loads(m.read_text()) if m.exists() else {}
 
     def mark_stage(self, stage: str, params_hash: str, **extra):
         self._marker(stage).write_text(
@@ -196,6 +198,13 @@ def run_stage(
     t0 = time.monotonic()
     df = builder()
     catalog.write(df, table, partition_by=partition_by)
+    # stamp this writer's provenance: if the table was previously produced
+    # by run_partitioned_stage under a different (e.g. wave-suffixed)
+    # params_hash, the stale sidecar would otherwise let a later
+    # partitioned run trust its manifest against a flat-layout table and
+    # write part_col= dirs alongside flat files (conflicting directory
+    # structures on read)
+    catalog.set_properties(table, {"params_hash": params_hash})
     out = catalog.read(table)
     n = out.count() if count_output else None
     catalog.log_metrics(stage, params_hash, (time.monotonic() - t0) * 1000, output_rows=n)
@@ -243,18 +252,41 @@ def run_partitioned_stage(
         catalog.drop(table)
         catalog.drop(catalog._manifest(stage))
         catalog.clear_stage(stage)
+    elif catalog.exists(table) and part_col not in catalog.read(table).columns:
+        # provenance tag matches but the durable layout is flat (a
+        # non-partitioned writer rewrote the table between partitioned
+        # runs): trusting the manifest would mix part_col= dirs with flat
+        # files — drop and rebuild under the partitioned layout
+        catalog.drop(table)
+        catalog.drop(catalog._manifest(stage))
+        catalog.clear_stage(stage)
     catalog.set_properties(table, {"params_hash": params_hash})
     done = catalog.completed_partitions(stage, params_hash)
     if not catalog.exists(table):
-        # nothing durable on disk (every manifested wave wrote zero rows,
-        # or the table was lost): replay everything — dynamic overwrite
-        # makes the replay idempotent
-        done = set()
+        if catalog.stage_complete(stage, params_hash) and catalog.stage_info(
+            stage
+        ).get("empty_output"):
+            # the stage completed and its marker records that every wave
+            # legitimately produced zero rows: the manifest is the truth,
+            # nothing to replay (previously this path re-ran the whole
+            # stage on every invocation of an empty-output stage)
+            pass
+        else:
+            # nothing durable on disk and no known-empty marker (table was
+            # lost, or a prior run died mid-stage with only empty waves
+            # manifested): replay everything — dynamic overwrite makes the
+            # replay idempotent
+            done = set()
     todo = [v for v in part_values if str(v) not in done]
     if not todo:
         if not catalog.stage_complete(stage, params_hash):
-            catalog.mark_stage(stage, params_hash)
-        return catalog.read(table), True
+            catalog.mark_stage(stage, params_hash, empty_output=not catalog.exists(table))
+        if catalog.exists(table):
+            return catalog.read(table), True
+        # known-empty completed stage: surface an empty frame with the
+        # builder's schema without touching durable state (limit(0) folds
+        # to an empty LocalRelation — no wave actually executes)
+        return builder([part_values[0]]).limit(0) if part_values else None, True
     last_df = None
     for i in range(0, len(todo), wave_size):
         wave = todo[i : i + wave_size]
@@ -269,11 +301,12 @@ def run_partitioned_stage(
             status="wave_complete",
             parts=[str(p) for p in wave],
         )
-    catalog.mark_stage(stage, params_hash)
+    catalog.mark_stage(stage, params_hash, empty_output=not catalog.exists(table))
     if catalog.exists(table):
         return catalog.read(table), False
     # every wave was empty: dynamic overwrite wrote no files — return an
-    # empty frame with the builder's schema
+    # empty frame with the builder's schema (the marker's empty_output
+    # flag lets reruns trust the manifest instead of replaying)
     return last_df.limit(0), False
 
 

@@ -39,6 +39,20 @@ SIGNATURE_SCHEMA = T.StructType(
     ]
 )
 
+# `with_shingles` variant: the per-document sorted-unique shingle-hash set,
+# computed from the SAME window hashes the signature kernel already has in
+# hand (one extra per-segment np.unique — profiled ~25% of the window-hash
+# cost). Verify then joins candidate ids against this column and never
+# re-shingles a document: the shingle UDF that dominated the verify stage
+# (61% post-r4-fix, BENCH/VERIFY_PROFILE.json) disappears entirely.
+# Space-time trade: ~8 bytes per unique shingle ≈ the normalized text size
+# again, paid only where configured (PipelineConfig.persist_shingles) —
+# at low candidate rates re-shingling only candidate members can be
+# cheaper, so the verify path accepts either layout.
+SIGNATURE_SHINGLES_SCHEMA = T.StructType(
+    SIGNATURE_SCHEMA.fields + [T.StructField("shingles", T.ArrayType(T.LongType()), False)]
+)
+
 REGISTER_SCHEMA = T.StructType(
     [
         T.StructField("regs", T.ArrayType(T.IntegerType()), False),
@@ -54,8 +68,9 @@ def _encode(texts: pd.Series) -> "list[bytes]":
     return [t.encode("utf-8") if isinstance(t, str) else b"" for t in texts]
 
 
-def make_signature_udf(params: SketchParams, plan: LshPlan):
-    """Scalar pandas UDF: text -> struct(minhash, simhash, bands, n_windows).
+def make_signature_udf(params: SketchParams, plan: LshPlan, with_shingles: bool = False):
+    """Scalar pandas UDF: text -> struct(minhash, simhash, bands, n_windows
+    [, shingles]).
 
     Whole pipeline for one Arrow batch: concat-buffer rolling k-gram hashes
     (T4/T6), per-permutation segment-min (A1/A2 analog), SimHash bit-votes
@@ -63,6 +78,11 @@ def make_signature_udf(params: SketchParams, plan: LshPlan):
     dedup-invariant (min over multiset == min over set) and SimHash becomes
     the standard frequency-weighted variant — so the kernel is pure linear
     vector ops, no sorting.
+
+    ``with_shingles``: also emit each document's sorted-unique shingle-hash
+    set (identical to ``batch_shingle_hash_segments`` output — both are
+    np.unique over the same unseeded window hashes), so the verify stage
+    can skip its own shingling pass.
     """
     k = params.shingle_k
     num_perm = params.num_perm
@@ -70,8 +90,9 @@ def make_signature_udf(params: SketchParams, plan: LshPlan):
     b_, r_ = plan.bands, plan.rows
 
     mode = params.minhash_mode
+    schema = SIGNATURE_SHINGLES_SCHEMA if with_shingles else SIGNATURE_SCHEMA
 
-    @F.pandas_udf(SIGNATURE_SCHEMA)
+    @F.pandas_udf(schema)
     def signature_udf(texts: pd.Series) -> pd.DataFrame:
         from lash_spark.hashing import batch_window_hash_segments, mix64
         from lash_spark.sketches import (
@@ -99,14 +120,17 @@ def make_signature_udf(params: SketchParams, plan: LshPlan):
                     sigs[ne, j] = np.minimum.reduceat(mixed, starts)
         simhashes = simhash_from_signature(sigs)
         bands = band_hashes(sigs, b_, r_, seed).view(np.int64)
-        return pd.DataFrame(
-            {
-                "minhash": list(sig_to_reg32(sigs)),
-                "simhash": simhashes,
-                "bands": list(bands),
-                "n_windows": counts,
-            }
-        )
+        out = {
+            "minhash": list(sig_to_reg32(sigs)),
+            "simhash": simhashes,
+            "bands": list(bands),
+            "n_windows": counts,
+        }
+        if with_shingles:
+            out["shingles"] = [
+                np.unique(hu[seg[i] : seg[i + 1]]).view(np.int64) for i in range(n)
+            ]
+        return pd.DataFrame(out)
 
     return signature_udf
 
@@ -142,14 +166,16 @@ def add_signatures(
     params: SketchParams,
     plan: LshPlan | None = None,
     text_col: str = "norm_text",
+    with_shingles: bool = False,
 ) -> DataFrame:
-    """Append minhash/simhash/bands/n_windows columns (map-only)."""
+    """Append minhash/simhash/bands/n_windows[/shingles] columns (map-only)."""
     plan = plan or LshPlan.plan(params.num_perm, 0.8)
-    udf = make_signature_udf(params, plan)
+    udf = make_signature_udf(params, plan, with_shingles)
     sig = df.withColumn("_sig", udf(F.col(text_col)))
-    return sig.select("*", "_sig.minhash", "_sig.simhash", "_sig.bands", "_sig.n_windows").drop(
-        "_sig"
-    )
+    cols = ["_sig.minhash", "_sig.simhash", "_sig.bands", "_sig.n_windows"]
+    if with_shingles:
+        cols.append("_sig.shingles")
+    return sig.select("*", *cols).drop("_sig")
 
 
 def add_register_sketch(
@@ -172,15 +198,16 @@ def build_signatures(
     id_col: str = "url",
     text_col: str = "norm_text",
     min_parallelism: int | None = None,
+    with_shingles: bool = False,
 ) -> DataFrame:
     """The signatures table (D6 analog): (id, minhash, simhash, bands,
-    n_shingles). Narrow projection so the parquet scan prunes to (id, text)
-    only. If the input has fewer partitions than the cluster's parallelism
-    (single small parquet file), repartition so the map-only UDF stage
-    actually fans out — at real scale inputs arrive with >> cores splits
-    and this is a no-op."""
+    n_shingles[, shingles]). Narrow projection so the parquet scan prunes
+    to (id, text) only. If the input has fewer partitions than the
+    cluster's parallelism (single small parquet file), repartition so the
+    map-only UDF stage actually fans out — at real scale inputs arrive
+    with >> cores splits and this is a no-op."""
     narrow = docs.select(id_col, text_col)
     target = min_parallelism or docs.sparkSession.sparkContext.defaultParallelism
     if narrow.rdd.getNumPartitions() < target:
         narrow = narrow.repartition(target)
-    return add_signatures(narrow, params, plan, text_col).drop(text_col)
+    return add_signatures(narrow, params, plan, text_col, with_shingles).drop(text_col)

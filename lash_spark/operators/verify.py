@@ -88,17 +88,33 @@ def exact_jaccard_join(
     k: int,
     id_col: str = "url",
     text_col: str = "norm_text",
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
-    """pairs + exact jaccard via the shingle-set join engine."""
+    """pairs + exact jaccard via the shingle-set join engine.
+
+    ``sets_df``: a table already carrying each document's sorted-unique
+    shingle hashes in a ``shingles`` column (the signature stage's
+    ``with_shingles`` output). When given, verify touches no document text
+    and runs no Python at all — candidate ids semi-join the persisted sets
+    and the intersection stays in WholeStageCodegen."""
     a, b = f"{id_col}_a", f"{id_col}_b"
     cand_ids = (
         pairs.select(F.col(a).alias(id_col))
         .unionByName(pairs.select(F.col(b).alias(id_col)))
         .distinct()
     )
+    if sets_df is not None:
+        source = sets_df.join(cand_ids, id_col, "left_semi").select(
+            F.col(id_col), F.col("shingles").alias("sh")
+        )
+    else:
+        # semi-join BEFORE the UDF projection so shingling runs only over
+        # candidate members, not the whole corpus
+        source = docs.join(cand_ids, id_col, "left_semi").select(
+            F.col(id_col), make_shingle_set_udf(k)(F.col(text_col)).alias("sh")
+        )
     sets = (
-        docs.join(cand_ids, id_col, "left_semi")
-        .select(F.col(id_col), make_shingle_set_udf(k)(F.col(text_col)).alias("sh"))
+        source
         # materialize ONCE: the sets subtree feeds both join sides with
         # DIFFERENT join keys, so Spark's exchange reuse never fires and
         # the shingle UDF (plus the semi-join above it) would run twice.
@@ -157,26 +173,31 @@ def cross_verify_pairs(
         )
     sh_udf = make_shingle_set_udf(params.shingle_k)
 
-    def _sets(docs, pair_col):
+    def _sets(docs, sig, pair_col):
         # q and r sets are distinct tables here (no shared subtree), but
         # `pairs` itself feeds the id projection AND both final joins;
         # materializing keeps each side's shingle UDF to one pass over
-        # its members (see exact_jaccard_join)
+        # its members (see exact_jaccard_join). When the side's signature
+        # table persists shingle sets, project those instead of
+        # re-shingling text.
         ids = pairs.select(F.col(pair_col).alias(id_col)).distinct()
-        return (
-            docs.join(ids, id_col, "left_semi")
-            .select(
+        if sig is not None and "shingles" in sig.columns:
+            src = sig.join(ids, id_col, "left_semi").select(
+                F.col(id_col).alias(pair_col),
+                F.col("shingles").alias(f"sh_{pair_col[-1]}"),
+            )
+        else:
+            src = docs.join(ids, id_col, "left_semi").select(
                 F.col(id_col).alias(pair_col),
                 sh_udf(F.col(text_col)).alias(f"sh_{pair_col[-1]}"),
             )
-            .localCheckpoint(eager=False)
-        )
+        return src.localCheckpoint(eager=False)
 
     inter = F.size(F.array_intersect("sh_q", "sh_r"))
     union = F.size("sh_q") + F.size("sh_r") - inter
     return (
-        pairs.join(_sets(docs_q, q), q)
-        .join(_sets(docs_r, r), r)
+        pairs.join(_sets(docs_q, sig_q, q), q)
+        .join(_sets(docs_r, sig_r, r), r)
         .withColumn(
             "jaccard",
             F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0)),
@@ -234,7 +255,15 @@ def verify_pairs(
         # estimate join + degree-cap windows run once, not per branch
         pairs = pairs.localCheckpoint(eager=False)
     if method == "shingle_join":
-        out = exact_jaccard_join(pairs, docs, params.shingle_k, id_col, text_col)
+        # use the signature stage's persisted shingle sets when available:
+        # verify then touches no text and runs no Python (the shingle UDF
+        # was 61% of the stage — BENCH/VERIFY_PROFILE.json)
+        sets_df = (
+            sig_df if sig_df is not None and "shingles" in sig_df.columns else None
+        )
+        out = exact_jaccard_join(
+            pairs, docs, params.shingle_k, id_col, text_col, sets_df=sets_df
+        )
     else:
         texts = docs.select(F.col(id_col), F.col(text_col))
         joined = (

@@ -55,8 +55,14 @@ def dedup_pipeline(
         existing = catalog.read("signatures") if catalog.exists("signatures") else None
         if existing is not None and catalog.properties("signatures").get("params_hash") != phash:
             existing = None  # params changed -> full rebuild (F6 semantics)
+        # appended rows must match the durable table's layout: a table
+        # written before (or without) persist_shingles keeps its schema
+        # across resumes; the flag applies to fresh builds only
+        shingles = (
+            "shingles" in existing.columns if existing is not None else cfg.persist_shingles
+        )
         delta = resume_delta(normed, existing, id_col)
-        new_sigs = build_signatures(delta, params, plan, id_col=id_col)
+        new_sigs = build_signatures(delta, params, plan, id_col=id_col, with_shingles=shingles)
         if existing is not None:
             if not delta.isEmpty():
                 catalog.append(new_sigs, "signatures")
@@ -75,7 +81,9 @@ def dedup_pipeline(
         # the signatures feed three consumers (band explode + both sides of
         # the estimate join); persist so the Arrow UDF runs once per row —
         # the catalog path gets the same effect from the table round-trip
-        sigs = build_signatures(normed, params, plan, id_col=id_col).persist()
+        sigs = build_signatures(
+            normed, params, plan, id_col=id_col, with_shingles=cfg.persist_shingles
+        ).persist()
 
     # ---- candidates (skew-tiered LSH band join)
     def build_candidates():
@@ -179,6 +187,7 @@ def cross_dataset_pairs(
     lsh_min_recall: float = 0.995,
     same_files: bool = False,
     unpersist_into: list | None = None,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """The reference's primary two-dataset ``dist`` mode
     (``/root/reference/src/main.rs:353-401``, ``src/utils.rs:150-161``):
@@ -209,7 +218,9 @@ def cross_dataset_pairs(
     nr = with_normalized_text(
         docs_r.select(id_col, text_col), text_col=text_col, version=params.normalize_version
     )
-    sig_q = build_signatures(nq, params, plan, id_col=id_col).persist()
+    sig_q = build_signatures(
+        nq, params, plan, id_col=id_col, with_shingles=persist_shingles
+    ).persist()
     if unpersist_into is not None:
         unpersist_into.append(sig_q)
     if same_files:
@@ -218,7 +229,9 @@ def cross_dataset_pairs(
             cands, nq, params, id_col=id_col, threshold=threshold,
             sig_df=sig_q, with_distances=False,
         ).select(f"{id_col}_a", f"{id_col}_b", "jaccard")
-    sig_r = build_signatures(nr, params, plan, id_col=id_col).persist()
+    sig_r = build_signatures(
+        nr, params, plan, id_col=id_col, with_shingles=persist_shingles
+    ).persist()
     if unpersist_into is not None:
         unpersist_into.append(sig_r)
     cands = cross_lsh_candidate_pairs(sig_q, sig_r, id_col=id_col)

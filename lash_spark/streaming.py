@@ -157,6 +157,7 @@ def stream_near_dup(
     threshold: float = 0.8,
     checkpoint_dir: str | None = None,
     trigger_once: bool = False,
+    persist_shingles: bool = True,
 ) -> StreamingQuery:
     """Streaming NEAR-duplicate detection, INCREMENTAL per micro-batch:
     the batch is normalized and sketched ONCE (O(batch) signature-UDF
@@ -214,11 +215,46 @@ def stream_near_dup(
             version=params.normalize_version,
         )
 
+    # F6 strict-compatibility semantics for the persisted signature store:
+    # the batch paths cross-validate params before any pair phase
+    # (validate_compatible), and the pre-incremental stream design
+    # re-sketched history every batch so it was immune by construction.
+    # The incremental design probes STORED band keys, so restarting the
+    # stream with different SketchParams or a different LSH plan (bands ×
+    # rows changes with threshold) would silently equi-join incompatible
+    # band layouts — pairs missing or bogus. The store is therefore
+    # stamped with (params_hash, bands x rows) on write, validated at
+    # every batch entry, and rebuilt from stream_docs on mismatch.
+    sig_props = {
+        "params_hash": params.params_hash(),
+        "params": params.to_json(),
+        "lsh_plan": f"{plan.bands}x{plan.rows}",
+        # schema marker: toggling persist_shingles changes the store's
+        # column layout, so it participates in the same rebuild-on-mismatch
+        # protocol as the sketch params
+        "layout": "shingles" if persist_shingles else "plain",
+    }
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         need_guard = guard["pending"]
         guard["pending"] = True  # stays set if anything below raises
         batch = batch_df.select(id_col, text_col)
         have_docs = catalog.exists("stream_docs")
+        if catalog.exists("stream_sigs"):
+            stored = catalog.properties("stream_sigs")
+            if (
+                stored.get("params_hash"),
+                stored.get("lsh_plan"),
+                stored.get("layout"),
+            ) != (
+                sig_props["params_hash"],
+                sig_props["lsh_plan"],
+                sig_props["layout"],
+            ):
+                # incompatible store: drop — the backfill below rebuilds
+                # every stored document's signature under this run's config
+                catalog.drop("stream_sigs")
+        catalog.set_properties("stream_sigs", sig_props)
         if have_docs:
             # EVERY batch (not just guarded ones) drops ids already in the
             # store: first ingest wins. This makes recrawled ids behave
@@ -238,12 +274,16 @@ def stream_near_dup(
             # lost): one-time backfill from the stored docs, after which
             # every batch appends only its own signatures
             catalog.write(
-                build_signatures(_store_normed(), params, plan, id_col=id_col),
+                build_signatures(
+                    _store_normed(), params, plan, id_col=id_col,
+                    with_shingles=persist_shingles,
+                ),
                 "stream_sigs",
             )
         normed = with_normalized_text(batch, text_col, version=params.normalize_version)
         sigs = build_signatures(
-            normed, params, plan, id_col=id_col, min_parallelism=1
+            normed, params, plan, id_col=id_col, min_parallelism=1,
+            with_shingles=persist_shingles,
         ).persist()  # feeds triangular cands + cross cands + 2 estimate joins + append
         try:
             pairs = verify_pairs(

@@ -169,9 +169,13 @@ def test_stream_near_dup_incremental_signature_work(spark, tmp_path, monkeypatch
     assert cat.read("stream_docs").count() == pages.count()
 
     # the persisted signature table matches a batch build over the union
+    # (incl. the persisted per-doc shingle sets the stream stores by default)
     got = cat.read("stream_sigs")
     want = build_signatures(
-        with_normalized_text(pages, "text"), params, LshPlan.plan(128, 0.8, 0.995)
+        with_normalized_text(pages, "text"),
+        params,
+        LshPlan.plan(128, 0.8, 0.995),
+        with_shingles=True,
     )
     assert got.count() == pages.count()
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
