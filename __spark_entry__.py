@@ -58,7 +58,9 @@ def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = _params()
     plan = LshPlan.plan(params.num_perm, THRESHOLD, 0.995)
     # persist: the signatures feed the band explode AND the estimate join
-    sigs = build_signatures(docs, params, plan, id_col="doc_id").persist()
+    sigs = build_signatures(
+        docs, params, plan, id_col="doc_id", with_shingles=True
+    ).persist()
     cands = lsh_candidate_pairs(sigs, id_col="doc_id")
     verified = verify_pairs(
         cands, docs, params, id_col="doc_id", threshold=THRESHOLD,

@@ -61,7 +61,9 @@ def _build_queries(sf_dir: str):
         # avoids — that, not an engine fault, is why near_dup_pairs
         # measured SLOWER than full_pipeline (19.6 vs 13.3 s) in r2
         d = with_normalized_text(docs(spark).select("doc_id", "text"), "text")
-        sigs = build_signatures(d, params, plan, id_col="doc_id").persist()
+        sigs = build_signatures(
+            d, params, plan, id_col="doc_id", with_shingles=True
+        ).persist()
         cands = lsh_candidate_pairs(
             sigs, id_col="doc_id", max_bucket=256, salt_buckets=8, star_threshold=512
         ).persist()
@@ -191,7 +193,9 @@ def _staged_dedup(spark, docs, cfg) -> dict:
 
     params, plan = cfg.params, cfg.lsh_plan()
     normed = with_normalized_text(docs.select("url", "text"), "text").persist()
-    sigs = build_signatures(normed, params, plan, id_col="url").persist()
+    sigs = build_signatures(
+        normed, params, plan, id_col="url", with_shingles=True
+    ).persist()
     stage("signatures", sigs.count)
     cands = None
 
@@ -273,7 +277,9 @@ def run_bigscale(n_docs: int = 500_000, reps: int = 2):
         from lash_spark.operators.verify import verify_pairs
 
         d = with_normalized_text(docs.select("url", "text"), "text")
-        sigs = build_signatures(d, params, cfg.lsh_plan(), id_col="url").persist()
+        sigs = build_signatures(
+            d, params, cfg.lsh_plan(), id_col="url", with_shingles=True
+        ).persist()
         cands = lsh_candidate_pairs(
             sigs, id_col="url", max_bucket=256, salt_buckets=8, star_threshold=512
         ).persist()
@@ -684,6 +690,98 @@ per-round work is itself distributed.
     return out
 
 
+def run_streambench(n_per_drop: int = 20_000, drops: int = 5):
+    """VERDICT r4 #7: per-trigger cost of the INCREMENTAL streaming
+    near-dup protocol vs store size. ``drops`` batches of ``n_per_drop``
+    synth docs land in a file-stream source one at a time; each drop runs
+    one trigger_once micro-batch against the SAME checkpoint, so trigger i
+    ingests exactly drop i while the persisted store holds i*n_per_drop
+    docs. Done-criterion: per-trigger wall stays flat (O(batch)) while the
+    store grows ``drops``x — the protocol probes the persisted
+    ``stream_sigs`` band table instead of re-sketching history. Planted
+    clusters scatter across drops (hash split) so cross-batch pairs are a
+    real part of every trigger's work. Writes BENCH/STREAMBENCH.json."""
+    import glob as _glob
+    import shutil
+    import subprocess
+
+    from lash_spark.config import SketchParams
+    from lash_spark.lakeio import ParquetCatalog
+    from lash_spark.session import get_spark
+    from lash_spark.streaming import stream_near_dup
+    from lash_spark.synth import generate_pages
+
+    n_per_drop = int(os.environ.get("SPARK_GRAFT_STREAM_DOCS", n_per_drop))
+    drops = int(os.environ.get("SPARK_GRAFT_STREAM_DROPS", drops))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    spark = get_spark(
+        app_name="lash_streambench", master=f"local[{cpus}]", shuffle_partitions=64
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    work = "/tmp/lash_streambench"
+    shutil.rmtree(work, ignore_errors=True)
+    src = f"{work}/src"
+    os.makedirs(src)
+    corpus = generate_pages(spark, n_per_drop * drops, seed=42, partitions=64)
+    schema = corpus.schema
+    # hash split (NOT planted_cluster split): dup families straddle drops,
+    # so cross-batch store probes find real pairs every trigger
+    for d in range(drops):
+        sl = corpus.filter(F.abs(F.xxhash64("url")) % drops == d)
+        sl.write.mode("overwrite").parquet(f"{work}/slices/d{d}")
+    cat = ParquetCatalog(spark, f"{work}/cat")
+    params = SketchParams()
+    result = {
+        "n_per_drop": n_per_drop,
+        "drops": drops,
+        "cpus": cpus,
+        "per_drop": [],
+    }
+    for d in range(drops):
+        for i, f in enumerate(
+            sorted(_glob.glob(f"{work}/slices/d{d}/*.parquet"))
+        ):
+            shutil.copy(f, f"{src}/d{d}_{i}.parquet")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 10_000)  # whole drop = one batch
+            .parquet(src)
+        )
+        t0 = time.monotonic()
+        q = stream_near_dup(
+            stream, cat, params, checkpoint_dir=f"{work}/ckpt", trigger_once=True
+        )
+        q.awaitTermination()
+        wall = round(time.monotonic() - t0, 2)
+        rec = {
+            "drop": d,
+            "wall_sec": wall,
+            "store_docs_before": d * n_per_drop,
+            "store_sigs_after": cat.read("stream_sigs").count(),
+            "pairs_total": cat.read("stream_dup_pairs").count()
+            if cat.exists("stream_dup_pairs")
+            else 0,
+            "docs_per_sec": round(n_per_drop / wall, 1),
+        }
+        result["per_drop"].append(rec)
+        print(f"# streambench drop {d}: {json.dumps(rec)}", file=sys.stderr, flush=True)
+    # flatness: later drops (store >= 2 drops) vs the first drop that had
+    # any store at all; < ~1.5x across a 4x store growth = O(batch) evidence
+    walls = [r["wall_sec"] for r in result["per_drop"]]
+    if drops >= 3:
+        result["flatness_last_vs_first_probed"] = round(walls[-1] / walls[1], 3)
+    rev = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True
+    ).stdout.strip()
+    result["recorded_at_rev"] = rev
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/STREAMBENCH.json", "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    spark.stop()
+    return result
+
+
 if __name__ == "__main__":
     n = None
     for a in sys.argv:
@@ -693,5 +791,7 @@ if __name__ == "__main__":
         run_scaling(n or 100_000)
     elif "--bigscale" in sys.argv:
         run_bigscale(n or 500_000)
+    elif "--streambench" in sys.argv:
+        run_streambench(n or 20_000)
     else:
         run_default()

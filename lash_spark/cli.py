@@ -129,7 +129,15 @@ def main(argv=None):
     p.add_argument(
         "--dm", action="store_true",
         help="write a distance matrix instead of the TSV (main.rs:170-176; "
-        "lower-triangular with zero diagonal when query == reference)",
+        "lower-triangular with zero diagonal when query == reference). "
+        "Cells for pairs the LSH engine never verified are EMPTY unless "
+        "--dm-fill is given (the reference's all-pairs engine fills every "
+        "cell)",
+    )
+    p.add_argument(
+        "--dm-fill", type=float, default=None, metavar="DIST",
+        help="value printed (%%.6f) in unverified --dm cells, e.g. 1.0; "
+        "default leaves them empty",
     )
     _add_common(p)
 
@@ -253,6 +261,7 @@ def main(argv=None):
             n_rows = write_distance_matrix_file(
                 verified, ids_r, ids_q, args.output,
                 id_a=ia, id_b=ib, same_files=same_files,
+                fill=args.dm_fill,
             )
             print(json.dumps({"dist": args.output, "matrix_rows": n_rows,
                               "same_files": same_files, "dm": True}))

@@ -80,6 +80,19 @@ class ParquetCatalog:
         if p.exists():
             shutil.rmtree(p)
 
+    def replace(self, df: DataFrame, table: str):
+        """Full-table replace that is safe when ``df``'s plan reads from
+        ``table`` itself (MERGE-style upsert emulation): stage the result
+        to a sibling dir, then swap directories. The Iceberg seam is a
+        real ``MERGE INTO`` / row-level delete; this parquet fallback pays
+        one columnar rewrite of the surviving rows, and only on runs that
+        actually detected mutated rows. Properties/markers are sidecar
+        files, untouched by the swap."""
+        staged = f"{table}__staged"
+        df.write.mode("overwrite").parquet(self.path(staged))
+        self.drop(table)
+        (self.root / staged).rename(self.root / table)
+
     # ---- properties (Iceberg table-properties analog; holds run params —
     # the reference's *_parameters.json, main.rs:254-276)
     def set_properties(self, table: str, props: dict):
@@ -311,10 +324,24 @@ def run_partitioned_stage(
 
 
 def resume_delta(
-    incoming: DataFrame, existing: DataFrame | None, id_col: str = "url"
+    incoming: DataFrame,
+    existing: DataFrame | None,
+    id_col: str = "url",
+    fp_col: str | None = None,
 ) -> DataFrame:
     """Row-level resume: rows of ``incoming`` not yet present in
-    ``existing`` (left_anti on the id) — SURVEY.md §2.8."""
+    ``existing`` — SURVEY.md §2.8.
+
+    With ``fp_col`` (present in both frames) the delta keys on
+    ``(id, fingerprint)``: url identity is NOT content identity — a
+    re-crawled page can arrive with mutated text, and an id-only anti-join
+    would silently keep the stale signature row (the downstream verify
+    stage then trusts stale persisted shingle sets). Falls back to the
+    id-only delta when ``existing`` predates the fingerprint column."""
     if existing is None:
         return incoming
+    if fp_col is not None and fp_col in existing.columns:
+        return incoming.join(
+            existing.select(id_col, fp_col).distinct(), [id_col, fp_col], "left_anti"
+        )
     return incoming.join(existing.select(id_col).distinct(), id_col, "left_anti")

@@ -25,6 +25,9 @@ Pairs found in multiple bands are deduped *before* expensive verification
 
 from __future__ import annotations
 
+import logging
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -56,12 +59,27 @@ def pairs_from_keys(
     max_bucket: int = 2000,
     salt_buckets: int = 8,
     star_threshold: int | None = None,
+    star_pair_budget: int = 8_000_000,
 ) -> DataFrame:
     """Generic skew-tiered candidate pair generation from (band_id, key, id)
     rows. Returns distinct (id_a, id_b) with id_a < id_b.
-    """
+
+    ``star_threshold=None`` (the default) derives the salt→star boundary
+    from ``star_pair_budget``, the largest per-bucket pair volume the salt
+    tier may expand (m members ⇒ m(m−1)/2 pairs): a bucket past the budget
+    is star-linked (linear volume) instead of exhaustively paired. The
+    previous size-based default (max_bucket·salt·4 = 64k members) admitted
+    ~2·10⁹ pairs from a single boilerplate bucket — the silent quadratic
+    trap the 500k-doc run hit (a 2% template family ⇒ ~m²/2 salt-tier
+    pairs). When the derived boundary actually routes a bucket, a warning
+    logs the bucket size and its projected pair volume so exhaustive-mode
+    callers see the cap engage. Pass an explicit ``star_threshold`` to pin
+    the boundary (including sys.maxsize for truly exhaustive analysis)."""
     spark = keyed.sparkSession
-    star_threshold = star_threshold or max_bucket * salt_buckets * 4
+    derived = star_threshold is None
+    if derived:
+        budget_members = int(math.isqrt(2 * star_pair_budget))
+        star_threshold = max(max_bucket, budget_members)
 
     # (keyed ⋈ census) feeds all three tiers below; persist so the upstream
     # signature UDF + explode run once per row instead of once per tier
@@ -113,6 +131,28 @@ def pairs_from_keys(
         .where(F.col(id_col) != F.col("rep"))
         .select(F.col("rep").alias(a), F.col(id_col).alias(b))
     )
+
+    if derived:
+        # census-driven guard visibility: when the budget-derived boundary
+        # actually reroutes a bucket, say so loudly — an exhaustive-mode
+        # caller must not silently get star-linked pairs. Existence probe
+        # over the (persisted) tier input, not a full count job.
+        hot = (
+            k.filter(F.col("bucket_n") > star_threshold)
+            .select("band_id", "key", "bucket_n")
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            n = int(hot[0]["bucket_n"])
+            logging.getLogger(__name__).warning(
+                "pairs_from_keys: bucket(s) over the %d-pair star budget "
+                "(e.g. band %s key %s: %d members ~ %d pairs) star-linked "
+                "instead of exhaustively paired; pass star_threshold "
+                "explicitly to override",
+                star_pair_budget, hot[0]["band_id"], hot[0]["key"], n,
+                n * (n - 1) // 2,
+            )
 
     out = p1.unionByName(p2).unionByName(p3).dropDuplicates([a, b])
     # Materialize the (small) pair set eagerly so the keyed+census cache can

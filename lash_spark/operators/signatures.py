@@ -199,14 +199,16 @@ def build_signatures(
     text_col: str = "norm_text",
     min_parallelism: int | None = None,
     with_shingles: bool = False,
+    carry_cols: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """The signatures table (D6 analog): (id, minhash, simhash, bands,
     n_shingles[, shingles]). Narrow projection so the parquet scan prunes
-    to (id, text) only. If the input has fewer partitions than the
+    to (id, text) only (plus ``carry_cols`` passthroughs, e.g. the resume
+    content fingerprint). If the input has fewer partitions than the
     cluster's parallelism (single small parquet file), repartition so the
     map-only UDF stage actually fans out — at real scale inputs arrive
     with >> cores splits and this is a no-op."""
-    narrow = docs.select(id_col, text_col)
+    narrow = docs.select(id_col, text_col, *carry_cols)
     target = min_parallelism or docs.sparkSession.sparkContext.defaultParallelism
     if narrow.rdd.getNumPartitions() < target:
         narrow = narrow.repartition(target)

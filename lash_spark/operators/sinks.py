@@ -55,6 +55,7 @@ def write_distance_matrix_file(
     dist: str = "distance",
     same_files: bool = False,
     max_ids: int = 5000,
+    fill: float | None = None,
 ) -> int:
     """The reference's ``--dm`` emit (``/root/reference/src/main.rs:439-447,
     461-466``; ``src/utils.rs:130-160``): one header line of tab-prefixed
@@ -64,9 +65,12 @@ def write_distance_matrix_file(
     deterministic, unlike the reference's HashMap iteration order.
 
     Cells for pairs the LSH engine never verified (below-threshold, so no
-    distance was computed) print EMPTY instead of a fabricated value — the
-    reference's all-pairs engine always fills them; the parquet pairs table
-    remains the scale artifact. Driver-side single-file emit (the reference
+    distance was computed) print EMPTY by default — the reference's
+    all-pairs engine always fills them; the parquet pairs table remains the
+    scale artifact. Pass ``fill`` (e.g. 1.0, the distance models' cap) to
+    print ``%.6f``-formatted ``fill`` in those cells instead, which keeps
+    strict reference-format parsers (split row -> float per cell) working.
+    Driver-side single-file emit (the reference
     serializes through one Arc<Mutex<File>>), guarded by ``max_ids``
     because the matrix is O(n^2) presentation output. Returns the number
     of data rows written."""
@@ -93,7 +97,7 @@ def write_distance_matrix_file(
                 if q == r:
                     out.append("0.000000")
                 else:
-                    d = cells.get((r, q))
+                    d = cells.get((r, q), fill)
                     out.append("" if d is None else f"{d:.6f}")
             f.write("\n" + "\t".join(out))
         f.write("\n")

@@ -112,7 +112,14 @@ def _lcs_length_bisect(ba: np.ndarray, bb: np.ndarray, min_len: int) -> int:
     """Near-linear-memory fallback: binary search on the answer length.
     A common substring of length >= L exists iff the length-L window-hash
     SETS intersect (np.intersect1d over unique hashes — no position
-    pairs). O((|a|+|b|) log|answer|) work, O(|a|+|b|) memory."""
+    pairs). O((|a|+|b|) log|answer|) work, O(|a|+|b|) memory.
+
+    The hash intersection alone could report a collision-inflated length
+    (the seed-and-extend path byte-verifies every diagonal; this path must
+    not be weaker — ADVICE r4), so the converged length is confirmed by
+    byte-comparing witness windows: matching hash positions are located
+    and memcmp'd (bounded fan-out per hash value). On mismatch the length
+    is excluded and the search retries below it."""
 
     def hit(ln: int) -> bool:
         return (
@@ -124,19 +131,37 @@ def _lcs_length_bisect(ba: np.ndarray, bb: np.ndarray, min_len: int) -> int:
             > 0
         )
 
-    lo, hi = min_len, min(ba.size, bb.size)
-    if not hit(lo):
-        return 0
-    if hit(hi):
-        return hi
-    # invariant: hit(lo) true, hit(hi) false
-    while hi - lo > 1:
-        mid = (lo + hi) // 2
-        if hit(mid):
-            lo = mid
+    def byte_witness(ln: int) -> bool:
+        ha = rolling_window_hashes(ba, ln)
+        hb = rolling_window_hashes(bb, ln)
+        common = np.intersect1d(np.unique(ha), np.unique(hb), assume_unique=True)
+        for v in common[:64]:
+            for i in np.flatnonzero(ha == v)[:8]:
+                wa = ba[i : i + ln]
+                for j in np.flatnonzero(hb == v)[:8]:
+                    if np.array_equal(wa, bb[j : j + ln]):
+                        return True
+        return False
+
+    hi_cap = min(ba.size, bb.size)
+    while hi_cap >= min_len:
+        lo, hi = min_len, hi_cap
+        if not hit(lo):
+            return 0
+        if hit(hi):
+            lo = hi
         else:
-            hi = mid
-    return lo
+            # invariant: hit(lo) true, hit(hi) false
+            while hi - lo > 1:
+                mid = (lo + hi) // 2
+                if hit(mid):
+                    lo = mid
+                else:
+                    hi = mid
+        if byte_witness(lo):
+            return lo
+        hi_cap = lo - 1  # collision-only length: exclude it and retry
+    return 0
 
 
 def _lcs_length(a: bytes, b: bytes, min_len: int) -> int:
@@ -206,6 +231,7 @@ def exact_substring_pairs(
     max_bucket: int = 2000,
     candidates: DataFrame | None = None,
     star_threshold: int | None = None,
+    star_pair_budget: int = 8_000_000,
 ) -> DataFrame:
     """(id_a, id_b) for pairs sharing an exact substring of length
     >= min_len. If ``candidates`` is given (e.g. urls already inside
@@ -223,8 +249,11 @@ def exact_substring_pairs(
     buckets to star-linking (linear volume, connectivity preserved) —
     the web-scale configuration, same trade-off as the near-dup tier-3
     (measured: the 500k-doc bench corpus's 2% template family without it
-    dominates the whole pass). Default None keeps the exhaustive pair
-    set (analysis / small-corpus mode)."""
+    dominates the whole pass). Default None derives the boundary from
+    ``star_pair_budget`` (largest per-bucket pair volume the salt tier may
+    expand; a routed bucket logs a warning) — the exhaustive configuration
+    measured non-viable at 500k docs is opt-in via an explicit huge
+    ``star_threshold``."""
     d = docs.select(F.col(id_col), F.col(text_col))
     if candidates is not None:
         d = d.join(candidates.select(id_col).distinct(), id_col, "left_semi")
@@ -235,7 +264,11 @@ def exact_substring_pairs(
         .withColumn("band_id", F.lit(0))
     )
     pairs = pairs_from_keys(
-        keyed, id_col=id_col, max_bucket=max_bucket, star_threshold=star_threshold
+        keyed,
+        id_col=id_col,
+        max_bucket=max_bucket,
+        star_threshold=star_threshold,
+        star_pair_budget=star_pair_budget,
     )
     a, b = f"{id_col}_a", f"{id_col}_b"
     cand_ids = (

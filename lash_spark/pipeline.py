@@ -57,24 +57,49 @@ def dedup_pipeline(
             existing = None  # params changed -> full rebuild (F6 semantics)
         # appended rows must match the durable table's layout: a table
         # written before (or without) persist_shingles keeps its schema
-        # across resumes; the flag applies to fresh builds only
+        # across resumes; the flag applies to fresh builds only. Same rule
+        # for the resume content fingerprint (text_fp).
         shingles = (
             "shingles" in existing.columns if existing is not None else cfg.persist_shingles
         )
-        delta = resume_delta(normed, existing, id_col)
-        new_sigs = build_signatures(delta, params, plan, id_col=id_col, with_shingles=shingles)
+        with_fp = "text_fp" in existing.columns if existing is not None else True
+        inc = normed.withColumn("text_fp", F.xxhash64(F.col("norm_text")))
+        # delta keys on (id, content fingerprint): a re-crawled url whose
+        # text mutated is IN the delta, so its signature (and persisted
+        # shingle set) is recomputed instead of silently trusted stale
+        delta = resume_delta(
+            inc, existing, id_col, fp_col="text_fp" if with_fp else None
+        ).persist()
+        new_sigs = build_signatures(
+            delta, params, plan, id_col=id_col, with_shingles=shingles,
+            carry_cols=["text_fp"] if with_fp else [],
+        )
         if existing is not None:
             if not delta.isEmpty():
-                catalog.append(new_sigs, "signatures")
-                # the signature table grew: downstream stage markers (keyed
-                # only on params_hash) are now stale — clear them so
+                mutated = delta.select(id_col).join(
+                    existing.select(id_col), id_col, "left_semi"
+                )
+                if mutated.isEmpty():
+                    catalog.append(new_sigs, "signatures")
+                else:
+                    # mutated urls: MERGE semantics — survivors keep their
+                    # rows, stale rows are replaced by the recomputed ones
+                    # (the Iceberg seam is MERGE INTO / row-level delete;
+                    # catalog.replace stages + swaps for plain parquet)
+                    survivors = existing.join(
+                        delta.select(id_col), id_col, "left_anti"
+                    )
+                    catalog.replace(survivors.unionByName(new_sigs), "signatures")
+                # the signature table changed: downstream stage markers
+                # (keyed only on params_hash) are now stale — clear them so
                 # candidates/verify/clusters rebuild over the full table
                 # instead of silently returning results that miss every
-                # newly-added document
+                # newly-added (or mutated) document
                 for stale in ("candidates", "dup_pairs", "clusters"):
                     catalog.clear_stage(stale)
         else:
             catalog.write(new_sigs, "signatures")
+        delta.unpersist()
         catalog.set_properties("signatures", {"params_hash": phash, "params": params.to_json()})
         sigs = catalog.read("signatures")
     else:

@@ -280,3 +280,191 @@ def test_stream_sigs_layout_mismatch_rebuilds_store(spark, tmp_path):
     got = cat.read("stream_sigs")
     assert "shingles" not in got.columns
     assert got.count() == cat.read("stream_docs").count()
+
+
+# ------------------- census-driven star budget (VERDICT r4 #5) + LCS witness
+
+
+def test_star_budget_default_caps_over_budget_bucket(spark, caplog):
+    """With star_threshold unset, the boundary derives from star_pair_budget:
+    a bucket whose pair volume exceeds the budget is star-linked (linear)
+    and a warning names the routed bucket."""
+    import logging
+
+    from lash_spark.operators.lsh import pairs_from_keys
+
+    ids = list(range(30))  # 435 pairs > 100-pair budget (threshold isqrt(200)=14)
+    keyed = spark.createDataFrame(
+        [(0, 7, i) for i in ids], "band_id int, key bigint, url bigint"
+    )
+    with caplog.at_level(logging.WARNING, logger="lash_spark.operators.lsh"):
+        got = pairs_from_keys(keyed, max_bucket=5, star_pair_budget=100).collect()
+    pairs = {(r.url_a, r.url_b) for r in got}
+    assert pairs == {(0, i) for i in ids[1:]}  # star: linear, connectivity kept
+    assert any("star budget" in r.message for r in caplog.records)
+
+
+def test_star_budget_default_exhaustive_below_budget(spark, caplog):
+    """The same bucket under the default 8M-pair budget stays exhaustive
+    and logs nothing — the guard must not change small-corpus results."""
+    import logging
+
+    from lash_spark.operators.lsh import pairs_from_keys
+
+    ids = list(range(30))
+    keyed = spark.createDataFrame(
+        [(0, 7, i) for i in ids], "band_id int, key bigint, url bigint"
+    )
+    with caplog.at_level(logging.WARNING, logger="lash_spark.operators.lsh"):
+        got = pairs_from_keys(keyed, max_bucket=5).collect()
+    pairs = {(r.url_a, r.url_b) for r in got}
+    assert pairs == {(a, b) for a in ids for b in ids if a < b}
+    assert not [r for r in caplog.records if "star budget" in r.message]
+
+
+def test_substring_default_path_bounded_on_template_family(spark):
+    """exact_substring_pairs' DEFAULT call path (no star_threshold) must
+    complete with bounded pair volume on an over-budget boilerplate family
+    — the 500k-run quadratic trap (VERDICT r4 #5). Family connectivity
+    must survive via the star representative."""
+    from lash_spark.operators.substring import exact_substring_pairs
+
+    block = " ".join(f"tpl{i}" for i in range(80))  # shared template block
+    m = 24
+    rows = [(u, f"unique head {u} :: {block} :: unique tail {u}") for u in range(m)]
+    rows.append((99, "entirely unrelated document " + "z" * 400))
+    df = spark.createDataFrame(rows, "url bigint, norm_text string")
+    got = exact_substring_pairs(
+        df, min_len=256, id_col="url", max_bucket=4, star_pair_budget=50
+    )
+    pairs = {(r.url_a, r.url_b) for r in got.collect()}
+    assert len(pairs) < m * (m - 1) // 2 / 2, "pair volume not bounded"
+    # all family members in one connected component, outsider excluded
+    parent = {u: u for u in range(m)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        assert a != 99 and b != 99
+        parent[find(a)] = find(b)
+    assert len({find(u) for u in range(m)}) == 1
+
+
+def test_lcs_bisect_rejects_collision_only_length(monkeypatch):
+    """A hash collision must not inflate the bisect path's reported LCS:
+    with a degenerate (constant) rolling hash every length 'intersects',
+    and only the byte-verified witness keeps the answer honest (ADVICE
+    r4: the capped path must match the seed-and-extend path's exactness)."""
+    import numpy as np
+
+    import lash_spark.operators.substring as S
+
+    rng = np.random.default_rng(3)
+    ba = rng.integers(0, 256, 300, dtype=np.uint8)
+    bb = rng.integers(0, 256, 300, dtype=np.uint8)  # no common 64-byte run
+
+    real = S._lcs_length_bisect(ba, bb, 64)
+    assert real == 0
+
+    def constant_hash(buf, ln):
+        n = max(0, buf.size - ln + 1)
+        return np.zeros(n, dtype=np.uint64)
+
+    monkeypatch.setattr(S, "rolling_window_hashes", constant_hash)
+    assert S._lcs_length_bisect(ba, bb, 64) == 0  # pre-fix: returned 300
+
+
+def test_dm_fill_value(spark, tmp_path):
+    """--dm-fill prints %.6f fill in unverified cells so strict
+    reference-format parsers (float per cell) keep working (ADVICE r4)."""
+    from lash_spark.operators.sinks import write_distance_matrix_file
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 0.25)], "url_a string, url_b string, distance double"
+    )
+    ids = ["a", "b", "c"]
+    out = str(tmp_path / "dm.tsv")
+    write_distance_matrix_file(
+        pairs, ids, ids, out, same_files=True, fill=1.0
+    )
+    lines = open(out).read().splitlines()
+    assert lines[0] == "\ta\tb\tc"
+    body = [ln.split("\t") for ln in lines[1:]]
+    assert body[0] == ["a", "0.000000"]
+    assert body[1] == ["b", "0.250000", "0.000000"]
+    assert body[2] == ["c", "1.000000", "1.000000", "0.000000"]
+    # every non-name cell parses as float (the reference parsers' contract)
+    for row in body:
+        for cell in row[1:]:
+            float(cell)
+
+
+# -------------------- content-fingerprint resume (url identity != content)
+
+
+def test_mutated_url_recomputed_on_resume(spark, tmp_path):
+    """A re-crawled url whose text changed between runs must have its
+    signature (and persisted shingle set) recomputed — an id-only delta
+    kept the stale row and, with persisted-set verify, produced pairs from
+    text that no longer exists. Exposed by test_grown_input_* once verify
+    stopped re-shingling current text."""
+    from lash_spark.operators.signatures import build_signatures
+    from lash_spark.pipeline import dedup_pipeline
+
+    cfg = PipelineConfig()
+    cat = ParquetCatalog(spark, str(tmp_path / "wd"))
+    base = [(f"u{i}", f"stable document number {i} " * 30) for i in range(20)]
+    v1 = base + [("mut", "first crawl of the mutating page " * 40)]
+    schema = "url string, text string"
+    dedup_pipeline(spark.createDataFrame(v1, schema), cfg, catalog=cat)
+
+    # re-crawl: same urls, one mutated text that now duplicates u3
+    dup_of_u3 = base[3][1]
+    v2 = base + [("mut", dup_of_u3)]
+    r2 = dedup_pipeline(spark.createDataFrame(v2, schema), cfg, catalog=cat)
+    r_clean = dedup_pipeline(spark.createDataFrame(v2, schema), cfg)
+    got = {(r.url_a, r.url_b) for r in r2.dup_pairs.collect()}
+    want = {(r.url_a, r.url_b) for r in r_clean.dup_pairs.collect()}
+    assert got == want
+    assert ("mut", "u3") in got or ("u3", "mut") in got
+    # the durable table holds exactly one, recomputed, row for the url
+    sig = cat.read("signatures").filter("url = 'mut'")
+    assert sig.count() == 1
+    normed = with_normalized_text(
+        spark.createDataFrame([("mut", dup_of_u3)], schema), "text"
+    )
+    want_row = build_signatures(normed, cfg.params, cfg.lsh_plan(), with_shingles=True)
+    assert (
+        sig.select("minhash", "shingles")
+        .exceptAll(want_row.select("minhash", "shingles"))
+        .isEmpty()
+    )
+
+
+def test_pure_append_resume_still_appends(spark, tmp_path):
+    """When no url mutated, resume must take the append path (no full-table
+    replace): the staged-swap dir must not appear and the signature rows
+    for old docs must be byte-stable across the two runs."""
+    from lash_spark.pipeline import dedup_pipeline
+
+    cfg = PipelineConfig()
+    cat = ParquetCatalog(spark, str(tmp_path / "wd"))
+    schema = "url string, text string"
+    v1 = [(f"u{i}", f"stable document number {i} " * 30) for i in range(15)]
+    dedup_pipeline(spark.createDataFrame(v1, schema), cfg, catalog=cat)
+    import os
+
+    before = {
+        f for f in os.listdir(tmp_path / "wd" / "signatures") if f.endswith(".parquet")
+    }
+    v2 = v1 + [(f"n{i}", f"brand new page {i} " * 30) for i in range(5)]
+    dedup_pipeline(spark.createDataFrame(v2, schema), cfg, catalog=cat)
+    after = {
+        f for f in os.listdir(tmp_path / "wd" / "signatures") if f.endswith(".parquet")
+    }
+    assert before <= after, "append path must keep run-1 files intact"
+    assert cat.read("signatures").count() == 20
