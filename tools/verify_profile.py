@@ -10,8 +10,11 @@ window into its delta):
 
   est   = estimate join + threshold-margin filter           (count)
   cap   = est + the two per-side degree-cap row_number windows
-  sets  = shingle-set UDF over candidate member ids alone   (map-only)
-  full  = complete verify_pairs (est + cap + sets + pair join + intersect)
+  sets  = shingle-set UDF over candidate member ids alone   (map-only;
+          what the pre-r5 verify paid — kept for the A/B record)
+  full  = complete verify_pairs on PERSISTED shingle sets (r5 default:
+          est + cap + pair join + intersect, zero Python)
+  full_reshingle = complete verify_pairs re-shingling text (pre-r5 path)
 
 Attribution from medians: est | cap-est | sets | full-cap-sets (the pair
 join + intersect residual). Writes BENCH/VERIFY_PROFILE.json and prints
@@ -71,8 +74,13 @@ def main() -> None:
     threshold, margin = cfg.jaccard_threshold, 0.15
 
     normed = with_normalized_text(docs.select("url", "text"), "text").persist()
-    sigs = build_signatures(normed, params, cfg.lsh_plan(), id_col="url").persist()
+    # persisted shingle sets included: `full` profiles the r5 default
+    # (no-Python verify); `full_reshingle` profiles the pre-r5 path
+    sigs = build_signatures(
+        normed, params, cfg.lsh_plan(), id_col="url", with_shingles=True
+    ).persist()
     sigs.count()
+    sigs_nosets = sigs.drop("shingles")
     cands = lsh_candidate_pairs(
         sigs, id_col="url", max_bucket=cfg.max_band_bucket,
         salt_buckets=cfg.salt_buckets, star_threshold=cfg.star_threshold,
@@ -125,7 +133,19 @@ def main() -> None:
             sig_df=sigs, max_pairs_per_doc=cfg.max_pairs_per_doc,
         ).count()
 
-    variants = [("est", v_est), ("cap", v_cap), ("sets", v_sets), ("full", v_full)]
+    def v_full_reshingle():
+        return verify_pairs(
+            cands, normed, params, id_col="url", threshold=threshold,
+            sig_df=sigs_nosets, max_pairs_per_doc=cfg.max_pairs_per_doc,
+        ).count()
+
+    variants = [
+        ("est", v_est),
+        ("cap", v_cap),
+        ("sets", v_sets),
+        ("full", v_full),
+        ("full_reshingle", v_full_reshingle),
+    ]
     samples: dict[str, list[float]] = {n: [] for n, _ in variants}
     rows: dict[str, int] = {}
     for rep in range(reps):
@@ -144,8 +164,11 @@ def main() -> None:
     attribution = {
         "estimate_join": med("est"),
         "degree_cap_windows": round(med("cap") - med("est"), 2),
-        "shingle_set_udf": med("sets"),
-        "pair_join_intersect": round(med("full") - med("cap") - med("sets"), 2),
+        # r5 default path: no shingle UDF at all — `full` rides the
+        # persisted sets; the UDF cost survives only in full_reshingle
+        "shingle_set_udf_if_reshingling": med("sets"),
+        "pair_join_intersect_persisted_sets": round(med("full") - med("cap"), 2),
+        "persisted_sets_saving": round(med("full_reshingle") - med("full"), 2),
     }
     out = {
         "n_docs": n_docs,
