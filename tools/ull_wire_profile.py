@@ -43,7 +43,9 @@ def _api(ui: str, path: str):
         return json.load(r)
 
 
-def _group_shuffle(ui: str, app_id: str, group: str) -> dict:
+def _group_shuffle(ui: str | None, app_id: str, group: str) -> dict:
+    if ui is None:  # UI unavailable: wall-only profile
+        return {"shuffle_write_mb": None, "shuffle_read_mb": None}
     jobs = [
         j
         for j in _api(ui, f"applications/{app_id}/jobs?status=succeeded")
@@ -76,7 +78,12 @@ def main():
         app_name="ull_wire_profile",
         master=f"local[{cpus}]",
         shuffle_partitions=64,
-        extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
+        extra_conf={
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            # the REST status API is the shuffle-bytes source; the session
+            # factory disables the UI by default
+            "spark.ui.enabled": "true",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
@@ -166,7 +173,7 @@ def main():
             "shuffle_read_mb": med["shuffle_read_mb"],
         }
     a, b = out["tasks"]["join_array"], out["tasks"]["join_packed_u16"]
-    if b["shuffle_write_mb"]:
+    if a["shuffle_write_mb"] and b["shuffle_write_mb"]:
         out["wire_ratio_array_over_packed"] = round(
             a["shuffle_write_mb"] / b["shuffle_write_mb"], 2
         )

@@ -180,8 +180,17 @@ def main() -> None:
         "rows": rows,
     }
     os.makedirs("BENCH", exist_ok=True)
+    # one entry per corpus size (same layout rule as BENCH/BIGSCALE.json)
+    try:
+        with open("BENCH/VERIFY_PROFILE.json") as f:
+            all_sizes = json.load(f)
+        if "n_docs" in all_sizes:  # legacy single-run layout
+            all_sizes = {str(all_sizes["n_docs"]): all_sizes}
+    except FileNotFoundError:
+        all_sizes = {}
+    all_sizes[str(n_docs)] = out
     with open("BENCH/VERIFY_PROFILE.json", "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(all_sizes, f, indent=1)
     print(json.dumps(out))
     spark.stop()
 
