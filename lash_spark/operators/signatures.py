@@ -210,6 +210,12 @@ def build_signatures(
     with >> cores splits and this is a no-op."""
     narrow = docs.select(id_col, text_col, *carry_cols)
     target = min_parallelism or docs.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < target:
+    # fan out only GENUINELY under-partitioned inputs (a single small
+    # parquet file). A keyless repartition is not free — it shuffles the
+    # full text payload and pays a per-task sort (SPARK-23207) — so an
+    # input already within 4x of the target parallelism keeps its layout
+    # (128-partition synth input vs 256 target was a pure-waste 100 MB
+    # text shuffle on the 50k bench query).
+    if narrow.rdd.getNumPartitions() * 4 < target:
         narrow = narrow.repartition(target)
     return add_signatures(narrow, params, plan, text_col, with_shingles).drop(text_col)

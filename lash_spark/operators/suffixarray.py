@@ -278,6 +278,70 @@ def _packed_window_keys(d: DataFrame, min_len: int, compaction="auto") -> DataFr
     ).select("_id", (F.col("_p0") + 1).alias("pos"), "key")
 
 
+def _window_pos_hashes(d2: DataFrame, min_len: int) -> DataFrame:
+    """(_id, pos, h) rows: a 64-bit JVM hash of every length-``min_len``
+    character window (pos 1-based). Docs shorter than min_len contribute no
+    positions (explicit branch: sequence(1, n) with n <= 0 counts DOWN)."""
+    return d2.select(
+        "_id",
+        F.posexplode(
+            F.expr(
+                f"if(length(_t) < {min_len}, array(), "
+                f"transform(sequence(1, length(_t) - {min_len} + 1), "
+                f"p -> xxhash64(substring(_t, p, {min_len}))))"
+            )
+        ).alias("_p0", "h"),
+    ).select("_id", (F.col("_p0") + 1).alias("pos"), "h")
+
+
+def _sa_group_keys(
+    d2: DataFrame, min_len: int, id_col: str, compaction=None
+) -> DataFrame:
+    """(id, band_id, key) group rows whose key equality ⇔ exact character
+    equality of the min_len window — the pairs_from_keys input for
+    :func:`substring_pairs_sa`.
+
+    Two-pass shape (guide §2.3 "shuffle keys and metadata instead of
+    payloads"): the r5 single-pass design shuffled a ≤64-byte packed-window
+    struct for EVERY character position into one global distinct — ~10M ×
+    72 B at sf0.1 — and that exchange dominated the whole query (20.6 s vs
+    7.4 s for the winnowing twin on the same truth set; VERDICT r5 #3).
+
+    1. **Hash census** (8 B/key, map-side partial agg): per-position
+       xxhash64 of the window, groupBy(h) keeping only min(id)/max(id) —
+       a hash whose min and max doc ids agree lives in one document and can
+       never produce a pair. Equal windows always hash equal, so this
+       prefilter is COMPLETE: no cross-doc window group is lost.
+    2. **Exact grouping of the survivors**: positions carrying a surviving
+       hash (a tiny set — only genuinely repeated blocks plus the odd
+       collision) re-keyed on the RAW min_len substring. Result groups are
+       therefore decided by character equality alone — a hash collision
+       admits a spurious survivor, never a wrong pair, exactly like the
+       Bloom-prefilter pattern of guide §3.2.
+
+    ``compaction`` is accepted for signature compatibility with the old
+    packed-key path and ignored (the hash census needs no alphabet map)."""
+    pos_h = _window_pos_hashes(d2, min_len)
+    hot = (
+        pos_h.groupBy("h")
+        .agg(F.min("_id").alias("_mn"), F.max("_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("h")
+    )
+    # the explode re-runs for the survivor pass (two cheap map passes beat
+    # materializing the full position table); the semi-join side is tiny
+    surv = pos_h.join(hot, "h", "left_semi").select("_id", "pos")
+    return (
+        surv.join(d2, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            F.lit(0).alias("band_id"),
+            F.expr(f"substring(_t, pos, {min_len})").alias("key"),
+        )
+        .distinct()
+    )
+
+
 def substring_pairs_sa(
     docs: DataFrame,
     min_len: int = 64,
@@ -289,65 +353,22 @@ def substring_pairs_sa(
     """Exact (id_a, id_b) pairs sharing a character-identical substring of
     length >= min_len: positions whose first min_len characters are equal
     form a group, and distinct doc pairs within a group ARE the answer —
-    no hashes, no verification step. Rank groups feed the skew-tiered pair
-    generator (a giant repeated substring is precisely the hot-bucket
-    case).
+    groups are decided by raw character equality (no verification step;
+    hashes appear only as a complete PREFILTER whose collisions cost work,
+    never results — see :func:`_sa_group_keys`). Groups feed the
+    skew-tiered pair generator (a giant repeated substring is precisely
+    the hot-bucket case).
 
-    Pair detection needs EQUALITY groups of the min_len-prefix, not its
-    rank order, so two strategies cheaper than full-depth ranking apply,
-    both exact:
-
-    1. **Packed-window keying** (preferred; `_packed_window_keys`): when
-       alphabet compaction holds, the whole min_len window packs into
-       ≤ 8 longs used directly as the group key — zero doubling rounds,
-       one position shuffle total.
-    2. **Half-depth rank composite** (fallback for huge/non-BMP
-       alphabets): ranks to depth ceil(min_len/2) (one fewer doubling
-       round) with group key (rank[pos], rank[pos + min_len - half]) —
-       the half-windows tile the full window, so componentwise equality
-       is exactly full-window equality.
-
-    ``suffix_ranks`` itself still produces the true full-depth
-    lexicographic order for maximal-repeat analyses."""
+    Alphabet-independent: the hash census + raw-substring grouping needs
+    no alphabet compaction, so the corpus-wide distinct-codepoint sweep
+    and the prefix-doubling fallback the r5 version carried are gone.
+    ``suffix_ranks`` still produces the true full-depth lexicographic
+    order for maximal-repeat analyses."""
     d = docs.select(F.col(id_col), F.col(text_col))
     if candidates is not None:
         d = d.join(candidates.select(id_col).distinct(), id_col, "left_semi")
     d2 = d.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-    # one alphabet sweep decides the strategy AND feeds whichever path runs
-    # (without this, a declined packed path would re-sweep inside
-    # suffix_ranks — two full corpus scans of pure waste)
-    compact = _alphabet_compaction(d2)
-    packed = _packed_window_keys(d2, min_len, compaction=compact)
-    if packed is not None:
-        keyed = (
-            packed.select(
-                F.col("_id").alias(id_col),
-                F.lit(0).alias("band_id"),
-                F.col("key"),
-            ).distinct()
-        )
-        return pairs_from_keys(keyed, id_col=id_col, max_bucket=max_bucket)
-    half = (min_len + 1) // 2
-    shift = min_len - half
-    ranks = suffix_ranks(d, half, id_col=id_col, text_col=text_col, compaction=compact)
-    # only positions with a full min_len window participate; both half
-    # spans then lie fully inside the text (remaining >= half at pos+shift)
-    lens = d.select(F.col(id_col), F.length(text_col).alias("_len"))
-    full = ranks.join(lens, id_col).filter(
-        F.col("pos") <= F.col("_len") - min_len + 1
-    )
-    second = ranks.select(
-        F.col(id_col), (F.col("pos") - shift).alias("pos"), F.col("sa_rank").alias("_r2")
-    )
-    keyed = (
-        full.join(second, [id_col, "pos"])
-        .select(
-            F.col(id_col),
-            F.lit(0).alias("band_id"),
-            F.struct(F.col("sa_rank").alias("r1"), F.col("_r2").alias("r2")).alias("key"),
-        )
-        .distinct()
-    )
+    keyed = _sa_group_keys(d2, min_len, id_col)
     return pairs_from_keys(keyed, id_col=id_col, max_bucket=max_bucket)
 
 

@@ -49,6 +49,15 @@ def dedup_pipeline(
     normed = with_normalized_text(
         docs.select(id_col, text_col), text_col=text_col, version=params.normalize_version
     )
+    if catalog is None:
+        # normed feeds the signature build, the verify re-shingle path and
+        # the exact-dup edge pass. Without a catalog nothing materializes it,
+        # so an expensive source (a generator mapInPandas, a filtered scan)
+        # re-executes once per consumer — measured 2 extra full corpus
+        # generations on the 50k synth bench query. One cache entry of
+        # (id, text, norm_text) removes that; the catalog path gets the same
+        # effect from the signatures table round-trip.
+        normed = normed.persist()
 
     # ---- signatures (map-only; row-level delta resume under a catalog)
     if catalog is not None:

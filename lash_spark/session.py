@@ -38,7 +38,23 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce post-shuffle partitions toward the advisory SIZE instead
+        # of stopping at default parallelism (parallelismFirst=true, the
+        # Spark default, keeps 100 KB partitions when parallelism is 256 —
+        # hundreds of near-empty tasks per stage whose scheduling overhead
+        # dominates every small-to-mid shuffle; guide §2.2). Size-targeted
+        # coalescing is scale-adaptive by construction: a 100 TB shuffle has
+        # every partition above the advisory size and is untouched, while a
+        # 100 MB shuffle collapses to a handful of real tasks.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # allow shuffled-hash join when the per-partition build side fits
+        # (guide §3.1/§9): the verify/candidate equi-joins carry big array
+        # payloads on the probe side, and SMJ would sort those bytes; the
+        # build sides (id->set tables) are small per partition. Skew-heavy
+        # buckets are already handled upstream by the explicit salt tiers.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "zstd")
