@@ -186,6 +186,73 @@ class IvfIndex:
     n_lists: int
 
 
+def _local_kmeans(
+    x: np.ndarray, k: int, seed: int, max_iter: int = 25
+) -> np.ndarray:
+    """Deterministic Lloyd's with k-means++ seeding over the (bounded)
+    training sample — numpy on the driver. The sample is capped at
+    ``train_per_list * n_lists`` rows by the caller, so this is O(cap·k·dim)
+    driver work on a few MB, replacing an MLlib fit whose ~2·maxIter
+    scheduler round-trips of near-empty tasks dominated the IVF build at
+    bench scale (guide §1.2: fix the algorithm's job count, not the
+    config). Centroid QUALITY is the same algorithm family (k-means++ +
+    Lloyd iterations); IVF correctness never depends on the centroids —
+    cells merely partition the corpus, and n_probe == n_lists remains
+    exactly brute force."""
+    n = x.shape[0]
+    rng = np.random.default_rng(seed)
+    centers = np.empty((k, x.shape[1]), dtype=np.float64)
+    centers[0] = x[int(rng.integers(n))]
+    d2 = ((x - centers[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        tot = float(d2.sum())
+        if tot > 0:
+            centers[j] = x[int(rng.choice(n, p=d2 / tot))]
+        else:  # all remaining points coincide with a chosen center
+            centers[j] = x[int(rng.integers(n))]
+        d2 = np.minimum(d2, ((x - centers[j]) ** 2).sum(axis=1))
+    for _ in range(max_iter):
+        dist = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        a = dist.argmin(axis=1)
+        new = np.vstack(
+            [
+                x[a == j].mean(axis=0) if (a == j).any() else centers[j]
+                for j in range(k)
+            ]
+        )
+        if np.allclose(new, centers, rtol=0.0, atol=1e-12):
+            break
+        centers = new
+    return centers
+
+
+def _make_cell_udf(centers: np.ndarray):
+    """vector -> index of the nearest centroid (squared L2), one Arrow
+    batch at a time: ||x||² − 2·x·Cᵀ + ||c||² argmin via a single numpy
+    matmul. A Column-expression formulation was tried first and rejected
+    by measurement: inlining k × dim centroid literals produced a
+    1000+-node expression tree whose driver-side analysis/codegen cost
+    ~9 s PER QUERY PLAN at k=16, dim=64 (guide §7.3 — planning time on
+    huge expression trees), dwarfing the 2000-row execution. The UDF keeps
+    the plan tiny and the per-batch work is one BLAS call (guide §4.2).
+    np.argmin takes the first minimum, so ties break on the lower cell
+    index deterministically."""
+    C = np.asarray(centers, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def cell(vs: pd.Series) -> pd.Series:
+        m = np.zeros((len(vs), C.shape[1]), dtype=np.float64)
+        for i, v in enumerate(vs):
+            if v is not None:
+                a = np.asarray(v, dtype=np.float64)[: C.shape[1]]
+                m[i, : a.size] = a
+        d = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ C.T) + c2[None, :]
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return cell
+
+
 def ivf_fit(
     corpus: DataFrame,
     n_lists: int = 16,
@@ -194,21 +261,16 @@ def ivf_fit(
     vec_col: str = "embedding",
     train_per_list: int = 256,
 ) -> IvfIndex:
-    """Build the IVF index: centroid training is one MLlib KMeans fit run
-    on a bounded sample of ``train_per_list * n_lists`` vectors coalesced
-    to a few partitions — the standard IVF practice (centroid quality
-    saturates at a few hundred points per cell, and fitting on the full
-    corpus would make every KMeans iteration a full-corpus distributed
-    job); cell assignment of the FULL corpus is one map pass."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    """Build the IVF index: centroid training is a driver-local seeded
+    k-means over a bounded sample of ``train_per_list * n_lists`` vectors
+    (standard IVF practice — centroid quality saturates at a few hundred
+    points per cell; the sample cap bounds driver memory per guide §5);
+    cell assignment of the FULL corpus is one JVM map pass."""
     spark = corpus.sparkSession
     c = corpus.select(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).withColumn("cu", _unit_expr(F.col("cv")))
-    full = c.withColumn("features", array_to_vector("cu"))
     cap = max(train_per_list * n_lists, n_lists)
     # Bounded deterministic sample with NO full-corpus count job (ADVICE
     # r3): order by a seeded per-row hash and take the top `cap` — Spark
@@ -217,24 +279,20 @@ def ivf_fit(
     # yields exactly min(n, cap) rows, so the fit can never see fewer than
     # n_lists points unless the corpus itself has fewer.
     train = (
-        full.withColumn("_h", F.xxhash64(F.col("item_id"), F.lit(seed)))
+        c.withColumn("_h", F.xxhash64(F.col("item_id"), F.lit(seed)))
         .orderBy("_h", "item_id")
         .limit(cap)
-        .drop("_h")
+        .select("cu")
+        .collect()
     )
-    # the train side is <= cap rows: coalesce so each of KMeans's ~maxIter
-    # iteration jobs is a handful of tasks, not one per corpus partition
-    # (MLlib caches the instances RDD internally, so the top-K sample is
-    # evaluated once, not per iteration)
-    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(
-        train.coalesce(8)
-    )
-    assigned = model.transform(full).select(
-        "item_id", "cv", F.col("prediction").alias("cell")
+    x = np.asarray([r["cu"] for r in train], dtype=np.float64)
+    centers = _local_kmeans(x, n_lists, seed)
+    assigned = c.withColumn("cell", _make_cell_udf(centers)(F.col("cu"))).select(
+        "item_id", "cv", "cell"
     )
     # centroid table is tiny (n_lists rows) — broadcast to score query->cell
     cent = spark.createDataFrame(
-        [(i, [float(x) for x in v]) for i, v in enumerate(model.clusterCenters())],
+        [(i, [float(v) for v in ctr]) for i, ctr in enumerate(centers)],
         "cell int, centroid array<double>",
     )
     return IvfIndex(assigned=assigned, centroids=cent, n_lists=n_lists)
@@ -280,7 +338,10 @@ def ivf_probe(
     if cosine_round is not None:  # round-before-rank for oracle-stable order
         cos = F.round(cos, cosine_round)
     scored = (
-        index.assigned.join(probes, "cell")
+        # probes = |query batch| x n_probe rows (small by the same contract
+        # as brute_force_topk's query side): broadcast them so the corpus
+        # side is never shuffled by cell
+        index.assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("item_id"))
         .withColumn("cosine", cos)
         .select("query_id", "item_id", "cosine")

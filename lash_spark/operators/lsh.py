@@ -75,21 +75,34 @@ def pairs_from_keys(
     logs the bucket size and its projected pair volume so exhaustive-mode
     callers see the cap engage. Pass an explicit ``star_threshold`` to pin
     the boundary (including sys.maxsize for truly exhaustive analysis)."""
+    from pyspark.sql import Window
+
     spark = keyed.sparkSession
     derived = star_threshold is None
     if derived:
         budget_members = int(math.isqrt(2 * star_pair_budget))
         star_threshold = max(max_bucket, budget_members)
 
-    # (keyed ⋈ census) feeds all three tiers below; persist so the upstream
-    # signature UDF + explode run once per row instead of once per tier
-    # branch (the physical plan otherwise repeats the Arrow subtree).
-    stats = band_census(keyed, id_col)
+    # bucket size + representative as window aggregates over ONE exchange of
+    # the keyed rows (the r5 census groupBy + equi-join evaluated keyed
+    # twice and paid a second shuffle for the join). The window exchange
+    # hash-partitions on (band_id, key), so the cached frame's partitioning
+    # lets tier 1's self-join run exchange-free. Feeds all tiers: persist so
+    # the upstream signature UDF + explode run once per row.
+    w = Window.partitionBy("band_id", "key")
     k = (
-        keyed.join(stats, ["band_id", "key"])
+        keyed.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .withColumn("rep", F.min(id_col).over(w))
         .filter(F.col("bucket_n") >= 2)
         .persist()
     )
+    # One cached aggregate decides which tiers exist. Buckets above
+    # max_bucket are RARE by construction (boilerplate families), so at most
+    # scales the salt/star tiers are empty — yet the r5 plan always built
+    # their broadcast-block and 4-key self-join stages, several near-empty
+    # Spark jobs per call. This also subsumes the star-guard existence probe
+    # (same cached scan, one job).
+    mx = k.agg(F.max("bucket_n").alias("mx")).first()["mx"] or 0
 
     a, b = f"{id_col}_a", f"{id_col}_b"
 
@@ -101,60 +114,74 @@ def pairs_from_keys(
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(F.col(f"l.{id_col}").alias(a), F.col(f"r.{id_col}").alias(b))
     )
+    parts = [p1]
 
-    # --- tier 2: salted triangle blocks
-    warm = (
-        k.filter((F.col("bucket_n") > max_bucket) & (F.col("bucket_n") <= star_threshold))
-        .select("band_id", "key", id_col)
-        .withColumn("salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)).cast("int"))
-    )
-    blocks = spark.createDataFrame(
-        [(i, j) for i in range(salt_buckets) for j in range(i, salt_buckets)], "bi int, bj int"
-    )
-    rep = warm.join(
-        F.broadcast(blocks), (F.col("salt") == F.col("bi")) | (F.col("salt") == F.col("bj"))
-    )
-    p2 = (
-        rep.alias("l")
-        .join(rep.alias("r"), ["band_id", "key", "bi", "bj"])
-        .where(
-            (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            & (F.least("l.salt", "r.salt") == F.col("bi"))
-            & (F.greatest("l.salt", "r.salt") == F.col("bj"))
+    if mx > max_bucket:
+        # --- tier 2: salted triangle blocks
+        warm = (
+            k.filter(
+                (F.col("bucket_n") > max_bucket) & (F.col("bucket_n") <= star_threshold)
+            )
+            .select("band_id", "key", id_col)
+            .withColumn(
+                "salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)).cast("int")
+            )
         )
-        .select(F.col(f"l.{id_col}").alias(a), F.col(f"r.{id_col}").alias(b))
-    )
+        blocks = spark.createDataFrame(
+            [(i, j) for i in range(salt_buckets) for j in range(i, salt_buckets)],
+            "bi int, bj int",
+        )
+        rep = warm.join(
+            F.broadcast(blocks), (F.col("salt") == F.col("bi")) | (F.col("salt") == F.col("bj"))
+        )
+        p2 = (
+            rep.alias("l")
+            .join(rep.alias("r"), ["band_id", "key", "bi", "bj"])
+            .where(
+                (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+                & (F.least("l.salt", "r.salt") == F.col("bi"))
+                & (F.greatest("l.salt", "r.salt") == F.col("bj"))
+            )
+            .select(F.col(f"l.{id_col}").alias(a), F.col(f"r.{id_col}").alias(b))
+        )
+        parts.append(p2)
 
-    # --- tier 3: star-link to representative (rep == min id, so rep < id)
-    p3 = (
-        k.filter(F.col("bucket_n") > star_threshold)
-        .where(F.col(id_col) != F.col("rep"))
-        .select(F.col("rep").alias(a), F.col(id_col).alias(b))
-    )
-
-    if derived:
-        # census-driven guard visibility: when the budget-derived boundary
-        # actually reroutes a bucket, say so loudly — an exhaustive-mode
-        # caller must not silently get star-linked pairs. Existence probe
-        # over the (persisted) tier input, not a full count job.
-        hot = (
+    if mx > star_threshold:
+        # --- tier 3: star-link to representative (rep == min id, so rep < id)
+        p3 = (
             k.filter(F.col("bucket_n") > star_threshold)
-            .select("band_id", "key", "bucket_n")
-            .limit(1)
-            .collect()
+            .where(F.col(id_col) != F.col("rep"))
+            .select(F.col("rep").alias(a), F.col(id_col).alias(b))
         )
-        if hot:
-            n = int(hot[0]["bucket_n"])
+        parts.append(p3)
+        if derived:
+            # guard visibility: when the budget-derived boundary actually
+            # reroutes a bucket, say so loudly — an exhaustive-mode caller
+            # must not silently get star-linked pairs. Tiny cached lookup,
+            # only runs in the (rare) routed case.
+            hot = (
+                k.filter(F.col("bucket_n") > star_threshold)
+                .select("band_id", "key", "bucket_n")
+                .limit(1)
+                .collect()
+            )
+            n = int(hot[0]["bucket_n"]) if hot else mx
             logging.getLogger(__name__).warning(
                 "pairs_from_keys: bucket(s) over the %d-pair star budget "
                 "(e.g. band %s key %s: %d members ~ %d pairs) star-linked "
                 "instead of exhaustively paired; pass star_threshold "
                 "explicitly to override",
-                star_pair_budget, hot[0]["band_id"], hot[0]["key"], n,
+                star_pair_budget,
+                hot[0]["band_id"] if hot else "?",
+                hot[0]["key"] if hot else "?",
+                n,
                 n * (n - 1) // 2,
             )
 
-    out = p1.unionByName(p2).unionByName(p3).dropDuplicates([a, b])
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.dropDuplicates([a, b])
     # Materialize the (small) pair set eagerly so the keyed+census cache can
     # be released immediately — callers get a lineage-truncated DataFrame
     # instead of a plan that pins `k` for the application lifetime, and the

@@ -70,6 +70,95 @@ def make_exact_jaccard_udf(k: int):
     return exact_jaccard
 
 
+def _broadcast_threshold_bytes(spark) -> int:
+    v = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "33554432")
+    try:
+        return int(v)
+    except ValueError:
+        try:
+            return int(
+                spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+            )
+        except Exception:
+            return 32 * 1024 * 1024
+
+
+def _verify_joined_once(
+    pairs: DataFrame,
+    sig_df: DataFrame,
+    params: SketchParams,
+    id_col: str,
+    threshold: float,
+    estimate_margin: float,
+) -> DataFrame:
+    """Fused verify for the common configuration (persisted shingle sets, no
+    degree cap): ONE join per pair side carrying (minhash, shingles)
+    together, instead of the r5 staged plan's four joins (estimate ×2, set
+    ×2) across two checkpointed frames. The estimate predicate sits below
+    the jaccard projection, so est-failing rows never pay the set
+    intersection (codegen AND short-circuits), and the candidate pairs —
+    already an eagerly checkpointed small frame — are never shuffled twice
+    with array payloads aboard (guide §8: move heavy bytes once).
+
+    The join strategy is decided from MEASURED bytes, not estimates (guide
+    §3.1): the member side is materialized (it is needed in full either
+    way), its exact set footprint read off a cached aggregate, and
+    broadcast only when it fits the session's broadcast threshold — at
+    bench scale that removes every shuffle of the pair table; at 100 TB the
+    member side exceeds the threshold and the same code degrades to the
+    shuffled join unchanged."""
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    # pairs feeds the member projection twice + the final join; candidates
+    # from pairs_from_keys arrive checkpointed already (then this is a
+    # cheap extra lineage pin), arbitrary caller frames get materialized
+    pairs = pairs.localCheckpoint(eager=False)
+    members = (
+        pairs.select(F.col(a).alias(id_col))
+        .unionByName(pairs.select(F.col(b).alias(id_col)))
+        .distinct()
+    )
+    side = (
+        sig_df.join(members, id_col, "left_semi")
+        .select(F.col(id_col), F.col("minhash"), F.col("shingles"))
+        .localCheckpoint(eager=True)
+    )
+    st = side.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("shingles")).alias("tot")
+    ).first()
+    # 8 B per shingle hash + per-row register/id/overhead slack
+    side_bytes = (st["tot"] or 0) * 8 + (st["n"] or 0) * (params.num_perm * 4 + 64)
+    # The usual auto-broadcast threshold guards against bad ESTIMATES; here
+    # the bytes are measured off the materialized frame, so a higher cap is
+    # safe (guide §3.1: a few hundred MB broadcast is fine — the cost is one
+    # build + per-executor residency, vs shuffling the pair table twice with
+    # array payloads aboard). Overridable per session.
+    cap = int(
+        pairs.sparkSession.conf.get(
+            "lash.verify.broadcastBytes", str(128 * 1024 * 1024)
+        )
+    )
+    bcast = side_bytes < max(cap, _broadcast_threshold_bytes(pairs.sparkSession))
+    sa = side.withColumnsRenamed({id_col: a, "minhash": "mh_a", "shingles": "sh_a"})
+    sb = side.withColumnsRenamed({id_col: b, "minhash": "mh_b", "shingles": "sh_b"})
+    if bcast:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(sa, a)
+        .join(sb, b)
+        .withColumn("est_jaccard", minhash_jaccard_expr("mh_a", "mh_b"))
+        .filter(F.col("est_jaccard") >= threshold - estimate_margin)
+        .withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .drop("mh_a", "mh_b", "sh_a", "sh_b")
+    )
+
+
 def estimate_pairs(pairs: DataFrame, sig_df: DataFrame, id_col: str = "url") -> DataFrame:
     """Attach the MinHash-estimate Jaccard to candidate pairs (tier 1)."""
     a, b = f"{id_col}_a", f"{id_col}_b"
@@ -236,6 +325,22 @@ def verify_pairs(
     from pyspark.sql import Window
 
     a, b = f"{id_col}_a", f"{id_col}_b"
+    if (
+        sig_df is not None
+        and estimate_margin is not None
+        and max_pairs_per_doc is None
+        and method == "shingle_join"
+        and "shingles" in sig_df.columns
+    ):
+        out = _verify_joined_once(
+            pairs, sig_df, params, id_col, threshold, estimate_margin
+        ).filter(F.col("jaccard") >= threshold)
+        if with_distances:
+            out = with_distance_columns(
+                out, "jaccard", k=params.shingle_k, model=params.distance_model,
+                id_col=id_col,
+            )
+        return out
     if sig_df is not None and estimate_margin is not None:
         pairs = estimate_pairs(pairs, sig_df, id_col).filter(
             F.col("est_jaccard") >= threshold - estimate_margin
