@@ -186,6 +186,11 @@ class PipelineConfig:
     max_band_bucket: int = 256
     salt_buckets: int = 8
     star_threshold: int = 512
+    # largest per-bucket pair volume the salt tier may expand when a caller
+    # leaves star_threshold derived (None) — plumbed through to
+    # pairs_from_keys so pipelines can tune the salt->star boundary without
+    # pinning an absolute member threshold (ADVICE r5)
+    star_pair_budget: int = 8_000_000
     # degree cap for boilerplate mega-clusters (see verify_pairs); None =
     # emit the full pair set (fixture-recall workloads)
     max_pairs_per_doc: int | None = None

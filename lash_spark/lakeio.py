@@ -87,11 +87,24 @@ class ParquetCatalog:
         real ``MERGE INTO`` / row-level delete; this parquet fallback pays
         one columnar rewrite of the surviving rows, and only on runs that
         actually detected mutated rows. Properties/markers are sidecar
-        files, untouched by the swap."""
+        files, untouched by the swap.
+
+        Swap order (ADVICE r5): the old table is renamed ASIDE first and
+        deleted only after the staged dir took its place, so the
+        table-missing crash window shrinks from the whole drop+rename span
+        to the instant between two renames; a crash then leaves the old
+        data recoverable under ``__old``. Leftover ``__staged``/``__old``
+        dirs from a previously crashed replace are cleaned up on entry
+        (the staged write itself is mode=overwrite)."""
         staged = f"{table}__staged"
+        old = f"{table}__old"
+        self.drop(old)  # leftover from a crashed replace
         df.write.mode("overwrite").parquet(self.path(staged))
-        self.drop(table)
-        (self.root / staged).rename(self.root / table)
+        p_table = self.root / table
+        if p_table.exists():
+            p_table.rename(self.root / old)
+        (self.root / staged).rename(p_table)
+        self.drop(old)
 
     # ---- properties (Iceberg table-properties analog; holds run params —
     # the reference's *_parameters.json, main.rs:254-276)
@@ -296,9 +309,24 @@ def run_partitioned_stage(
             catalog.mark_stage(stage, params_hash, empty_output=not catalog.exists(table))
         if catalog.exists(table):
             return catalog.read(table), True
-        # known-empty completed stage: surface an empty frame with the
-        # builder's schema without touching durable state (limit(0) folds
-        # to an empty LocalRelation — no wave actually executes)
+        # known-empty completed stage: surface an empty frame WITHOUT
+        # invoking the builder (ADVICE r5: builders may run eager work —
+        # pairs_from_keys checkpoints and probes — so "no wave executes"
+        # was only true for lazy builders). The completing run records the
+        # output schema in the marker; a marker written before that
+        # (legacy) falls back to one builder call. Returns None when
+        # ``part_values`` itself is empty (nothing to derive a schema
+        # from — documented contract).
+        schema_json = catalog.stage_info(stage).get("schema")
+        if schema_json is not None:
+            from pyspark.sql import types as T
+
+            return (
+                catalog.spark.createDataFrame(
+                    [], T.StructType.fromJson(json.loads(schema_json))
+                ),
+                True,
+            )
         return builder([part_values[0]]).limit(0) if part_values else None, True
     last_df = None
     for i in range(0, len(todo), wave_size):
@@ -314,7 +342,14 @@ def run_partitioned_stage(
             status="wave_complete",
             parts=[str(p) for p in wave],
         )
-    catalog.mark_stage(stage, params_hash, empty_output=not catalog.exists(table))
+    # record the output schema so empty-output resumes never have to call
+    # the (possibly eager) builder just to learn it
+    catalog.mark_stage(
+        stage,
+        params_hash,
+        empty_output=not catalog.exists(table),
+        schema=last_df.schema.json(),
+    )
     if catalog.exists(table):
         return catalog.read(table), False
     # every wave was empty: dynamic overwrite wrote no files — return an

@@ -197,6 +197,7 @@ def lsh_candidate_pairs(
     max_bucket: int = 2000,
     salt_buckets: int = 8,
     star_threshold: int | None = None,
+    star_pair_budget: int = 8_000_000,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs from the signatures table."""
     return pairs_from_keys(
@@ -205,6 +206,7 @@ def lsh_candidate_pairs(
         max_bucket=max_bucket,
         salt_buckets=salt_buckets,
         star_threshold=star_threshold,
+        star_pair_budget=star_pair_budget,
     )
 
 
@@ -234,13 +236,22 @@ def cross_pairs_from_keys(
     A bucket hot on BOTH sides routes through the reference-hot tier (the
     query replication there spreads it across the reference salts), so
     every (q, r) pair is emitted exactly once before the final dedup."""
+    from pyspark.sql import Window
+
     idq, idr = f"{id_col}_q", f"{id_col}_r"
     spark = keyed_q.sparkSession
 
-    r_census = keyed_r.groupBy("band_id", "key").agg(F.count(id_col).alias("r_n"))
-    q_census = keyed_q.groupBy("band_id", "key").agg(F.count(id_col).alias("q_n"))
-    rk = keyed_r.join(r_census, ["band_id", "key"])
-    qk = keyed_q.join(q_census, ["band_id", "key"])
+    # per-side bucket sizes as a window aggregate over one exchange (the r5
+    # census groupBy + equi-join paid a second shuffle and evaluated each
+    # keyed side twice); persist both sides — they feed every tier branch
+    w = Window.partitionBy("band_id", "key")
+    rk = keyed_r.withColumn("r_n", F.count(F.lit(1)).over(w)).persist()
+    qk = keyed_q.withColumn("q_n", F.count(F.lit(1)).over(w)).persist()
+    # one tiny cached aggregate per side gates the hot tiers (same rationale
+    # as pairs_from_keys: buckets above max_bucket are rare, and the salted
+    # replication stages should not build when provably empty)
+    mx_r = rk.agg(F.max("r_n")).first()[0] or 0
+    mx_q = qk.agg(F.max("q_n")).first()[0] or 0
     salts = spark.range(salt_buckets).select(F.col("id").cast("int").alias("salt"))
 
     def _salt(df):
@@ -249,9 +260,7 @@ def cross_pairs_from_keys(
         )
 
     r_cold = rk.filter(F.col("r_n") <= max_bucket).select("band_id", "key", id_col)
-    r_hot = rk.filter(F.col("r_n") > max_bucket).select("band_id", "key", id_col)
     q_cold = qk.filter(F.col("q_n") <= max_bucket).select("band_id", "key", id_col)
-    q_hot = qk.filter(F.col("q_n") > max_bucket).select("band_id", "key", id_col)
 
     # tier 1: cold x cold — plain equi-join
     p1 = (
@@ -259,31 +268,43 @@ def cross_pairs_from_keys(
         .join(r_cold.alias("r"), ["band_id", "key"])
         .select(F.col(f"q.{id_col}").alias(idq), F.col(f"r.{id_col}").alias(idr))
     )
+    parts = [p1]
 
-    # tier 2: reference hot — salt r, replicate every matching q row
-    hot_r_keys = r_hot.select("band_id", "key").distinct()
-    q_rep = keyed_q.join(hot_r_keys, ["band_id", "key"], "left_semi").crossJoin(
-        F.broadcast(salts)
-    )
-    p2 = (
-        q_rep.alias("q")
-        .join(_salt(r_hot).alias("r"), ["band_id", "key", "salt"])
-        .select(F.col(f"q.{id_col}").alias(idq), F.col(f"r.{id_col}").alias(idr))
-    )
+    if mx_r > max_bucket:
+        # tier 2: reference hot — salt r, replicate every matching q row
+        r_hot = rk.filter(F.col("r_n") > max_bucket).select("band_id", "key", id_col)
+        hot_r_keys = r_hot.select("band_id", "key").distinct()
+        q_rep = qk.select("band_id", "key", id_col).join(
+            hot_r_keys, ["band_id", "key"], "left_semi"
+        ).crossJoin(F.broadcast(salts))
+        p2 = (
+            q_rep.alias("q")
+            .join(_salt(r_hot).alias("r"), ["band_id", "key", "salt"])
+            .select(F.col(f"q.{id_col}").alias(idq), F.col(f"r.{id_col}").alias(idr))
+        )
+        parts.append(p2)
 
-    # tier 3: query hot, reference cold — salt q, replicate the cold r rows
-    hot_q_keys = q_hot.select("band_id", "key").distinct()
-    r_rep = r_cold.join(hot_q_keys, ["band_id", "key"], "left_semi").crossJoin(
-        F.broadcast(salts)
-    )
-    p3 = (
-        _salt(q_hot).alias("q")
-        .join(r_rep.alias("r"), ["band_id", "key", "salt"])
-        .select(F.col(f"q.{id_col}").alias(idq), F.col(f"r.{id_col}").alias(idr))
-    )
+    if mx_q > max_bucket:
+        # tier 3: query hot, reference cold — salt q, replicate the cold r rows
+        q_hot = qk.filter(F.col("q_n") > max_bucket).select("band_id", "key", id_col)
+        hot_q_keys = q_hot.select("band_id", "key").distinct()
+        r_rep = r_cold.join(hot_q_keys, ["band_id", "key"], "left_semi").crossJoin(
+            F.broadcast(salts)
+        )
+        p3 = (
+            _salt(q_hot).alias("q")
+            .join(r_rep.alias("r"), ["band_id", "key", "salt"])
+            .select(F.col(f"q.{id_col}").alias(idq), F.col(f"r.{id_col}").alias(idr))
+        )
+        parts.append(p3)
 
-    out = p1.unionByName(p2).unionByName(p3).dropDuplicates([idq, idr])
-    return out.localCheckpoint(eager=True)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.dropDuplicates([idq, idr]).localCheckpoint(eager=True)
+    rk.unpersist()
+    qk.unpersist()
+    return out
 
 
 def cross_lsh_candidate_pairs(

@@ -247,6 +247,53 @@ def cross_verify_pairs(
     (q, r) is role-ordered, so no triangular filter; q and r may contain
     the same document (the reference's same-name rows)."""
     q, r = f"{id_col}_q", f"{id_col}_r"
+    if (
+        sig_q is not None
+        and sig_r is not None
+        and estimate_margin is not None
+        and "shingles" in sig_q.columns
+        and "shingles" in sig_r.columns
+    ):
+        # fused fast path (same shape as _verify_joined_once): one join per
+        # role carrying (minhash, shingles) together, est predicate below
+        # the jaccard projection, measured-bytes broadcast per side
+        pairs = pairs.localCheckpoint(eager=False)
+        spark = pairs.sparkSession
+        cap = int(spark.conf.get("lash.verify.broadcastBytes", str(128 * 1024 * 1024)))
+        thr = max(cap, _broadcast_threshold_bytes(spark))
+
+        def _side(sig, pair_col, suffix):
+            ids = pairs.select(F.col(pair_col).alias(id_col)).distinct()
+            side = (
+                sig.join(ids, id_col, "left_semi")
+                .select(F.col(id_col), F.col("minhash"), F.col("shingles"))
+                .localCheckpoint(eager=True)
+            )
+            st = side.agg(
+                F.count(F.lit(1)).alias("n"), F.sum(F.size("shingles")).alias("tot")
+            ).first()
+            side_bytes = (st["tot"] or 0) * 8 + (st["n"] or 0) * 576
+            side = side.withColumnsRenamed(
+                {id_col: pair_col, "minhash": f"mh_{suffix}", "shingles": f"sh_{suffix}"}
+            )
+            return F.broadcast(side) if side_bytes < thr else side
+
+        inter = F.size(F.array_intersect("sh_q", "sh_r"))
+        union = F.size("sh_q") + F.size("sh_r") - inter
+        return (
+            pairs.join(_side(sig_q, q, "q"), q)
+            .join(_side(sig_r, r, "r"), r)
+            .withColumn("est_jaccard", minhash_jaccard_expr("mh_q", "mh_r"))
+            .filter(F.col("est_jaccard") >= threshold - estimate_margin)
+            .withColumn(
+                "jaccard",
+                F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+                    F.lit(0.0)
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select(q, r, "jaccard")
+        )
     if sig_q is not None and sig_r is not None and estimate_margin is not None:
         mq = sig_q.select(F.col(id_col).alias(q), F.col("minhash").alias("mh_q"))
         mr = sig_r.select(F.col(id_col).alias(r), F.col("minhash").alias("mh_r"))

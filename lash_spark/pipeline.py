@@ -85,6 +85,16 @@ def dedup_pipeline(
         )
         if existing is not None:
             if not delta.isEmpty():
+                # the signature table is about to change: downstream stage
+                # markers (keyed only on params_hash) become stale — clear
+                # them BEFORE mutating the table (ADVICE r5). Clearing is
+                # idempotent, so a crash between the clear and the write
+                # costs at worst a rebuild; the old order (clear after)
+                # left a crash window in which stale 'complete' markers
+                # silently skipped candidate/verify rebuild and the results
+                # missed every newly-added or mutated document.
+                for stale in ("candidates", "dup_pairs", "clusters"):
+                    catalog.clear_stage(stale)
                 mutated = delta.select(id_col).join(
                     existing.select(id_col), id_col, "left_semi"
                 )
@@ -99,13 +109,6 @@ def dedup_pipeline(
                         delta.select(id_col), id_col, "left_anti"
                     )
                     catalog.replace(survivors.unionByName(new_sigs), "signatures")
-                # the signature table changed: downstream stage markers
-                # (keyed only on params_hash) are now stale — clear them so
-                # candidates/verify/clusters rebuild over the full table
-                # instead of silently returning results that miss every
-                # newly-added (or mutated) document
-                for stale in ("candidates", "dup_pairs", "clusters"):
-                    catalog.clear_stage(stale)
         else:
             catalog.write(new_sigs, "signatures")
         delta.unpersist()
@@ -127,6 +130,7 @@ def dedup_pipeline(
             max_bucket=cfg.max_band_bucket,
             salt_buckets=cfg.salt_buckets,
             star_threshold=cfg.star_threshold,
+            star_pair_budget=cfg.star_pair_budget,
         )
 
     if catalog is not None and cfg.candidate_waves > 1:
@@ -155,6 +159,7 @@ def dedup_pipeline(
                 max_bucket=cfg.max_band_bucket,
                 salt_buckets=cfg.salt_buckets,
                 star_threshold=cfg.star_threshold,
+                star_pair_budget=cfg.star_pair_budget,
             )
             # single-wave builder calls => the literal is the wave id
             return pairs.withColumn("_wave", F.lit(int(wave_ids[0])))
