@@ -196,12 +196,17 @@ class PipelineConfig:
     max_pairs_per_doc: int | None = None
     # carry each document's sorted-unique shingle-hash set through the
     # signature stage (one extra np.unique over window hashes already in
-    # hand) so verify never re-shingles — removes the UDF that was 61% of
-    # the verify stage. Space-time trade: signatures grow by ~8 bytes per
-    # unique shingle (≈ the normalized text size). Set False for corpora
-    # where candidates are a tiny fraction of documents and re-shingling
-    # only candidate members is cheaper than storing sets for everyone.
-    persist_shingles: bool = True
+    # hand) so verify never re-shingles. Space-time trade with a MEASURED
+    # data-dependent sign (VERDICT r5 #1, settled by this round's A/B):
+    # persisted sets win 2.0x at 50k docs (~0.1 GB of sets) but LOSE 1.9x
+    # at 500k in-memory (~3.5 GB of sets — Arrow transfer + cache pressure
+    # + array-bearing joins outweigh the re-shingle UDF over members).
+    # None (the default) resolves adaptively in dedup_pipeline from the
+    # PROJECTED set bytes (8 B per normalized char, an upper bound on
+    # unique shingles) against `lash.shingles.persistBytes` (default
+    # 1.5 GB — above every measured winner, below the measured loser).
+    # True/False pin the layout explicitly.
+    persist_shingles: bool | None = None
     # partition-granular candidate resume (O6): >1 splits the candidate
     # stage into this many band-group waves, each committed + manifested
     # independently (run_partitioned_stage), so a killed run loses at most

@@ -159,13 +159,43 @@ def _verify_joined_once(
     )
 
 
+def _maybe_broadcast(df: DataFrame, measured_bytes: int):
+    """Broadcast a materialized frame when its MEASURED bytes fit the
+    session cap (guide §3.1: explicit broadcast when you KNOW the side is
+    small — here from an exact aggregate, not an estimate). Falls back to
+    the plain frame (shuffled join) above the cap, so scale behavior is
+    unchanged."""
+    spark = df.sparkSession
+    cap = int(spark.conf.get("lash.verify.broadcastBytes", str(128 * 1024 * 1024)))
+    thr = max(cap, _broadcast_threshold_bytes(spark))
+    return F.broadcast(df) if measured_bytes < thr else df
+
+
 def estimate_pairs(pairs: DataFrame, sig_df: DataFrame, id_col: str = "url") -> DataFrame:
-    """Attach the MinHash-estimate Jaccard to candidate pairs (tier 1)."""
+    """Attach the MinHash-estimate Jaccard to candidate pairs (tier 1).
+
+    The register table is restricted to candidate MEMBERS (semi-join) and
+    broadcast when its measured bytes fit: candidate pairs then join
+    map-side instead of being shuffled twice. Members are a small fraction
+    of the corpus by construction (only docs inside some band bucket of
+    size >= 2 appear in pairs)."""
     a, b = f"{id_col}_a", f"{id_col}_b"
-    sig = sig_df.select(F.col(id_col), "minhash")
+    pairs = pairs.localCheckpoint(eager=False)  # feeds members + both joins
+    members = (
+        pairs.select(F.col(a).alias(id_col))
+        .unionByName(pairs.select(F.col(b).alias(id_col)))
+        .distinct()
+    )
+    mh = (
+        sig_df.join(members, id_col, "left_semi")
+        .select(F.col(id_col), "minhash")
+        .localCheckpoint(eager=True)
+    )
+    st = mh.agg(F.count(F.lit(1)).alias("n"), F.sum(F.size("minhash")).alias("tot")).first()
+    mh = _maybe_broadcast(mh, (st["tot"] or 0) * 4 + (st["n"] or 0) * 48)
     return (
-        pairs.join(sig.withColumnsRenamed({id_col: a, "minhash": "mh_a"}), a)
-        .join(sig.withColumnsRenamed({id_col: b, "minhash": "mh_b"}), b)
+        pairs.join(mh.withColumnsRenamed({id_col: a, "minhash": "mh_a"}), a)
+        .join(mh.withColumnsRenamed({id_col: b, "minhash": "mh_b"}), b)
         .withColumn("est_jaccard", minhash_jaccard_expr("mh_a", "mh_b"))
         .drop("mh_a", "mh_b")
     )
@@ -208,12 +238,17 @@ def exact_jaccard_join(
         # DIFFERENT join keys, so Spark's exchange reuse never fires and
         # the shingle UDF (plus the semi-join above it) would run twice.
         # Measured (tools/verify_profile.py experiment, 20k docs): ~2x on
-        # the whole verify stage. Lazy checkpoint: the first consumer
-        # materializes it, the second reuses the stored blocks — no
-        # standalone materialization job. Bounded by candidate MEMBERS,
-        # not pairs.
-        .localCheckpoint(eager=False)
+        # the whole verify stage. Eager: the measured-broadcast decision
+        # below needs the real byte footprint. Bounded by candidate
+        # MEMBERS, not pairs.
+        .localCheckpoint(eager=True)
     )
+    st = sets.agg(F.count(F.lit(1)).alias("n"), F.sum(F.size("sh")).alias("tot")).first()
+    # broadcast when the measured set bytes fit: the pair table then never
+    # crosses an exchange carrying array payloads (the r5 plan's second
+    # join shuffled pairs WITH sh_a aboard — the dominant verify bytes at
+    # 500k, BENCH/VERIFY_PROFILE.json pair_join_intersect)
+    sets = _maybe_broadcast(sets, (st["tot"] or 0) * 8 + (st["n"] or 0) * 48)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (

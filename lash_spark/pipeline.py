@@ -33,6 +33,25 @@ class DedupResult:
     clusters: DataFrame
 
 
+def _resolve_persist_shingles(cfg: PipelineConfig, normed: DataFrame) -> bool:
+    """Resolve persist_shingles=None (auto) from PROJECTED set bytes: at
+    most one 8-byte hash per normalized character. Measured sign flip this
+    round (OPTIMIZATION_r06.md): persisted sets win 2.0x at ~0.1 GB of
+    sets (50k synth) and lose 1.9x at ~3.5 GB (500k in-memory), so the
+    boundary is a byte budget, not a corpus-size or candidate-rate rule.
+    One cheap aggregate over the normalized projection (already persisted
+    on the no-catalog path)."""
+    if cfg.persist_shingles is not None:
+        return cfg.persist_shingles
+    cap = int(
+        normed.sparkSession.conf.get(
+            "lash.shingles.persistBytes", str(1_500_000_000)
+        )
+    )
+    total_chars = normed.agg(F.sum(F.length("norm_text"))).first()[0] or 0
+    return total_chars * 8 < cap
+
+
 def dedup_pipeline(
     docs: DataFrame,
     cfg: PipelineConfig | None = None,
@@ -69,7 +88,9 @@ def dedup_pipeline(
         # across resumes; the flag applies to fresh builds only. Same rule
         # for the resume content fingerprint (text_fp).
         shingles = (
-            "shingles" in existing.columns if existing is not None else cfg.persist_shingles
+            "shingles" in existing.columns
+            if existing is not None
+            else _resolve_persist_shingles(cfg, normed)
         )
         with_fp = "text_fp" in existing.columns if existing is not None else True
         inc = normed.withColumn("text_fp", F.xxhash64(F.col("norm_text")))
@@ -119,7 +140,8 @@ def dedup_pipeline(
         # the estimate join); persist so the Arrow UDF runs once per row —
         # the catalog path gets the same effect from the table round-trip
         sigs = build_signatures(
-            normed, params, plan, id_col=id_col, with_shingles=cfg.persist_shingles
+            normed, params, plan, id_col=id_col,
+            with_shingles=_resolve_persist_shingles(cfg, normed),
         ).persist()
 
     # ---- candidates (skew-tiered LSH band join)

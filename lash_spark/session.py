@@ -47,7 +47,7 @@ def get_spark(
         # every partition above the advisory size and is untouched, while a
         # 100 MB shuffle collapses to a handful of real tasks.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # allow shuffled-hash join when the per-partition build side fits
         # (guide §3.1/§9): the verify/candidate equi-joins carry big array

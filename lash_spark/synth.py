@@ -69,8 +69,13 @@ def _mutate(words: np.ndarray, seed: int, member: int, rate: float) -> np.ndarra
     return out
 
 
+_VOCAB_NP = np.array(VOCAB, dtype=object)
+
+
 def _words_to_text(idx: np.ndarray) -> str:
-    return " ".join(VOCAB[i] for i in idx)
+    # C-level gather + list join: ~2x over a python genexpr indexing VOCAB
+    # per element (same words, same string — profiled 45% of generate_row)
+    return " ".join(_VOCAB_NP[idx].tolist())
 
 
 SHARED_SUBSTRING = " ".join(VOCAB[i % len(VOCAB)] for i in range(64))  # ~380 chars

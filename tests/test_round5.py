@@ -115,8 +115,9 @@ def test_empty_output_partitioned_stage_not_replayed(spark, tmp_path):
     assert not skipped1 and out1.count() == 0 and len(calls) == 2
     out2, skipped2 = run_partitioned_stage(cat, "empty_stage", "ph1", [0, 1], builder)
     assert skipped2, "completed empty-output stage must be trusted, not replayed"
-    # the skip path builds one limit(0) plan for schema only — no wave reruns
-    assert len(calls) == 3 and out2.count() == 0
+    # r6 (ADVICE r5): the skip path reads the schema recorded in the
+    # completion marker — the builder is not invoked at all anymore
+    assert len(calls) == 2 and out2.count() == 0
     assert cat.stage_info("empty_stage").get("empty_output") is True
 
 
