@@ -80,7 +80,14 @@ def connected_components(
     e = e.localCheckpoint(eager=False)
     prev = _checksum(e)
     for it in range(max_iterations):
-        e2 = _canonical(_small_star(_large_star(e)))
+        # _small_star's output is already canonical: both emit branches are
+        # oriented src > dst by construction (m is a strict minimum on every
+        # emitted row — self_e's src always has a smaller neighbor because
+        # its input is src>dst oriented), and it ends in distinct(). The r5
+        # loop wrapped it in _canonical() anyway, paying one extra distinct
+        # SHUFFLE per round for a provable no-op (r6 measurement: ~20% of
+        # each CC round).
+        e2 = _small_star(_large_star(e))
         if checkpoint_every and it % checkpoint_every == 0:
             e2 = e2.localCheckpoint(eager=False)
         cur = _checksum(e2)
