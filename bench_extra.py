@@ -122,6 +122,34 @@ def run_stage_synth(n_docs: int = 50_000):
     spark.stop()
 
 
+def run_entry_query(name: str, reps: int = 3):
+    """Isolate one __spark_entry__.queries() declared query (these are the
+    driver's oracle surface; most are NOT in the frozen bench suite) with
+    reps, per-rep walls and a throttle probe per rep."""
+    import __spark_entry__ as entrymod
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _spark()
+    fn = entrymod.queries()[name]
+    walls = []
+    for rep in range(reps):
+        p0 = throttle_probe()
+        spark.sparkContext.setJobDescription(f"entry:{name} rep{rep}")
+        t0 = time.monotonic()
+        rows = fn(spark, sf_dir).count()
+        walls.append(round(time.monotonic() - t0, 3))
+        print(
+            f"# entry {name} rep{rep}: {walls[-1]}s rows={rows} probe={p0}",
+            file=sys.stderr, flush=True,
+        )
+    s = sorted(walls)
+    print(json.dumps({
+        "entry_query": name, "reps": reps, "median": s[len(s) // 2],
+        "samples": walls, "rows": int(rows),
+    }))
+    spark.stop()
+
+
 def run_query(name: str, reps: int = 3):
     import bench
 
@@ -162,5 +190,8 @@ if __name__ == "__main__":
     elif "--query" in sys.argv:
         name = sys.argv[sys.argv.index("--query") + 1]
         run_query(name, kw.get("reps", 3))
+    elif "--entry-query" in sys.argv:
+        name = sys.argv[sys.argv.index("--entry-query") + 1]
+        run_entry_query(name, kw.get("reps", 3))
     else:
         print(__doc__)

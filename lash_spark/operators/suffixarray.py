@@ -395,48 +395,46 @@ def repeated_windows(
     text instead of every character position in the corpus. Corpus-wide
     mode remains for analysis-tier jobs at moderate scale.
 
-    Shape: window keys via the zero-round packed keying when the alphabet
-    compacts (raw-substring keys otherwise — exact either way), one
-    groupBy(key) with a min-(id,pos) representative, then text recovery
-    for the tiny surviving group set via an equi-join back to the corpus
-    (broadcast-sized: only windows duplicated ACROSS docs survive the
-    HAVING filter)."""
+    Shape (two-pass census, same pattern as :func:`_sa_group_keys` —
+    guide §2.3 "shuffle keys and metadata instead of payloads"): the old
+    single-pass design shuffled a 64-byte packed key for EVERY character
+    position into one exact groupBy whose countDistinct additionally
+    Expand-doubled the rows. Now pass 1 is an 8-byte hash census
+    (groupBy(h) keeping min(id)/max(id), map-side partial agg) — equal
+    windows always hash equal, so hashes whose min and max doc id agree
+    can never reach n_docs >= 2 and the prefilter is COMPLETE; pass 2
+    re-keys only the surviving positions (genuinely cross-doc windows
+    plus the odd collision) on the RAW substring and takes the exact
+    n_docs/n_occ counts there. Counts are exact: every occurrence of a
+    surviving window carries the same hash, so the survivor set holds
+    ALL its positions; a collision admits a spurious survivor group that
+    the exact n_docs >= 2 filter then drops — work, never results. The
+    raw key IS the window text, so the old text-recovery join is gone."""
     src = docs.select(F.col(id_col), F.col(text_col))
     if candidates is not None:
         src = src.join(candidates.select(id_col).distinct(), id_col, "left_semi")
     d = src.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-    keys = _packed_window_keys(d, window)
-    if keys is None:
-        # huge/non-BMP alphabet: key on the raw substring (wider shuffle
-        # key, same exact semantics)
-        keys = d.select(
-            "_id",
-            F.posexplode(
-                F.expr(
-                    f"if(length(_t) < {window}, array(), "
-                    f"transform(sequence(1, length(_t) - {window} + 1), "
-                    f"p -> substring(_t, p, {window})))"
-                )
-            ).alias("_p0", "key"),
-        ).select("_id", (F.col("_p0") + 1).alias("pos"), "key")
-    groups = (
+    pos_h = _window_pos_hashes(d, window)
+    hot = (
+        pos_h.groupBy("h")
+        .agg(F.min("_id").alias("_mn"), F.max("_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("h")
+    )
+    # the explode re-runs for the survivor pass (two cheap map passes beat
+    # materializing the full position table); the semi-join side is tiny
+    surv = pos_h.join(hot, "h", "left_semi").select("_id", "pos")
+    keys = surv.join(d, "_id").select(
+        "_id", F.expr(f"substring(_t, pos, {window})").alias("key")
+    )
+    return (
         keys.groupBy("key")
         .agg(
             F.countDistinct("_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_occ"),
-            F.min(F.struct(F.col("_id").alias("i"), F.col("pos").alias("p"))).alias("rep"),
         )
         .filter(F.col("n_docs") >= 2)
-    )
-    recovered = (
-        groups.join(d, groups["rep.i"] == d["_id"])
-        .select(
-            F.expr(f"substring(_t, rep.p, {window})").alias("window"),
-            "n_docs",
-            "n_occ",
-        )
-    )
-    return (
-        recovered.orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("window"))
+        .select(F.col("key").alias("window"), "n_docs", "n_occ")
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("window"))
         .limit(top_n)
     )

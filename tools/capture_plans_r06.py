@@ -86,6 +86,11 @@ def frames(spark):
         note = "_packed_window_keys position explode + distinct (pairs_from_keys input)"
     out["substring_pass_sa"] = (note, keyed)
 
+    out["repeated_windows"] = (
+        "repeated_windows corpus-wide (repeated_window_counts query)",
+        sa.repeated_windows(d, window=64, id_col="doc_id", top_n=20),
+    )
+
     # ivf: probe-side plan (fit runs eagerly)
     from lash_spark.operators.ann import ivf_fit, ivf_probe
 
