@@ -28,7 +28,13 @@ def _canonical(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """For each node u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u."""
+    """For each node u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u.
+
+    Output is a MULTISET: the historical trailing distinct() was a dedicated
+    exchange whose only consumer is _small_star, where every aggregate is
+    duplicate-insensitive (min) and the final distinct() already dedups —
+    so duplicate (v, m) emissions ride the next stage's existing map-side
+    partial aggregation instead of paying their own shuffle (guide §2.3)."""
     sym = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
     mins = mins.withColumn("m", F.least("mn", "src")).drop("mn")
@@ -36,7 +42,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         sym.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
