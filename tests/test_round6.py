@@ -223,3 +223,51 @@ def test_partitioned_stage_empty_resume_skips_builder(spark, tmp_path):
     assert skipped2 and df2.count() == 0
     assert len(calls) == n_calls, "builder invoked on empty-output resume"
     assert [f.name for f in df2.schema.fields] == ["x", "_wave"]
+
+
+def test_cc_local_and_distributed_paths_agree(spark):
+    """connected_components routes edge sets <= lash.cc.localEdgeCap to a
+    driver-local union-find; labels must be identical to the distributed
+    star rounds (component = min node id) on random graphs, and the
+    distributed path must stay exercised (cap=0 disables the local route)."""
+    import random
+
+    from lash_spark.operators.components import connected_components
+
+    rnd = random.Random(7)
+    for trial in range(3):
+        n = 80
+        edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(90)]
+        edges = [(a, b) for a, b in edges if a != b]
+        e = spark.createDataFrame(edges, "src bigint, dst bigint")
+        local = {
+            (r["node"], r["component"])
+            for r in connected_components(e, "src", "dst").collect()
+        }
+        spark.conf.set("lash.cc.localEdgeCap", "0")
+        try:
+            dist = {
+                (r["node"], r["component"])
+                for r in connected_components(e, "src", "dst").collect()
+            }
+        finally:
+            spark.conf.unset("lash.cc.localEdgeCap")
+        assert local == dist and local
+
+
+def test_cc_local_path_string_ids(spark):
+    """The driver-local route must handle string node ids (urls) with the
+    same min-label semantics the pipeline's cluster_id contract needs."""
+    from lash_spark.operators.components import connected_components
+
+    e = spark.createDataFrame(
+        [("u/b", "u/c"), ("u/c", "u/a"), ("u/x", "u/y")],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(e, "src", "dst").collect()
+    }
+    assert got == {
+        "u/a": "u/a", "u/b": "u/a", "u/c": "u/a", "u/x": "u/x", "u/y": "u/x"
+    }
