@@ -7,6 +7,9 @@ Modes:
                              clusters timed separately, noop-sink style)
   --query NAME [--reps=K]    isolate one bench.py suite query (same fn,
                              same data dir) with reps and per-rep seconds
+  --entry-query NAME [--reps=K]  isolate one __spark_entry__ declared
+                             query (the oracle surface; mostly not in the
+                             bench suite) with reps + per-rep probes
   --probe                    2-s numpy throttle sentinel (VERDICT r5 #2):
                              prints the wall of a fixed-size kernel so reps
                              recorded in a throttled window can be discarded
