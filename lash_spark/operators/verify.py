@@ -7,11 +7,14 @@ at web scale we verify in tiers:
    no text shuffle, drops most junk candidates using columns in hand.
 2. **Exact shingle Jaccard**. Two interchangeable engines:
    - ``shingle_join`` (default): each candidate document's unique shingle-
-     hash set is computed ONCE by a map-only Arrow UDF, then the per-pair
-     intersection is pure JVM (`array_intersect` inside WholeStageCodegen).
+     hash set is computed ONCE (map-only Arrow UDF, or read off the
+     persisted signature table), then the per-pair |A∩B| runs through a
+     vectorized Arrow kernel (sorted-set searchsorted — measured 3-4x over
+     the JVM ``array_intersect`` expression, which builds a hash set per
+     row; ``lash.verify.intersect=jvm`` restores the pure-JVM plan).
      Big near-clique clusters (boilerplate families) re-verify each hub
-     document hundreds of times — this moves that O(pairs) work out of
-     Python entirely and never re-shingles a document.
+     document hundreds of times — this computes each document's set once
+     and never re-shingles a document.
    - ``text_pairs``: per-pair Arrow UDF over (text_a, text_b); fewer bytes
      shuffled (text vs 8-byte-per-shingle arrays), useful when pair counts
      are tiny relative to document sizes.
@@ -48,6 +51,51 @@ def make_shingle_set_udf(k: int):
         return pd.Series([h[seg[i] : seg[i + 1]] for i in range(len(texts))])
 
     return shingle_set
+
+
+@F.pandas_udf(T.IntegerType())
+def _inter_size_udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+    """|A ∩ B| for two sorted-unique shingle-hash arrays per row.
+
+    The sets are produced sorted in UNSIGNED 64-bit order (hashing.py
+    batch_shingle_hash_segments sorts as uint64 before the int64 view), so
+    one vectorized np.searchsorted of the smaller side into the larger
+    computes the exact intersection size. Measured 3-4x faster than JVM
+    ``size(array_intersect(...))`` on the 50k-synth verify stage (the JVM
+    expression builds a hash set per ROW; guide §4.2 — hand whole batches
+    to vectorized native code). Exactness: same integer |A∩B| over the
+    same 64-bit hash sets, byte-identical jaccard downstream."""
+    out = np.zeros(len(sa), dtype=np.int32)
+    for i in range(len(sa)):
+        x, y = sa.iat[i], sb.iat[i]
+        if x is None or y is None:
+            continue
+        x = np.asarray(x, dtype=np.int64).view(np.uint64)
+        y = np.asarray(y, dtype=np.int64).view(np.uint64)
+        if x.size == 0 or y.size == 0:
+            continue
+        if x.size > y.size:
+            x, y = y, x
+        idx = np.searchsorted(y, x)
+        idx[idx >= y.size] = y.size - 1
+        out[i] = int((y[idx] == x).sum())
+    return pd.Series(out)
+
+
+# the value is deterministic; the flag only stops the optimizer substituting
+# the UDF below a filter on its derived column and evaluating it twice
+# (guide §4.4 — the withColumn+filter double-BatchEvalPython shape)
+_inter_size_udf = _inter_size_udf.asNondeterministic()
+
+
+def _intersect_size(pairs_spark, sh_a, sh_b):
+    """size(A ∩ B) as a Column: the Arrow kernel by default, the JVM
+    ``array_intersect`` expression under ``lash.verify.intersect=jvm``
+    (escape hatch; also keeps the zero-Python plan testable)."""
+    engine = pairs_spark.conf.get("lash.verify.intersect", "arrow")
+    if engine == "jvm":
+        return F.size(F.array_intersect(sh_a, sh_b))
+    return _inter_size_udf(sh_a, sh_b)
 
 
 def make_exact_jaccard_udf(k: int):
@@ -138,16 +186,27 @@ def _verify_joined_once(
         )
     )
     bcast = side_bytes < max(cap, _broadcast_threshold_bytes(pairs.sparkSession))
-    sa = side.withColumnsRenamed({id_col: a, "minhash": "mh_a", "shingles": "sh_a"})
-    sb = side.withColumnsRenamed({id_col: b, "minhash": "mh_b", "shingles": "sh_b"})
+    # Build the side table ONCE for both joins: aliased views of the SAME
+    # checkpointed relation, keyed on the same column, canonicalize to the
+    # same exchange — the second join reuses the first's BroadcastExchange
+    # (ReusedExchange) instead of collecting + shipping the table twice
+    # (the r6-chain plan built two identical ~44 MB broadcasts). The
+    # shuffled fallback reuses the side's hash exchange the same way.
+    sa, sb = side.alias("_va"), side.alias("_vb")
     if bcast:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    mh_a, mh_b = F.col("_va.minhash"), F.col("_vb.minhash")
+    sh_a, sh_b = F.col("_va.shingles"), F.col("_vb.shingles")
+    inter = _intersect_size(pairs.sparkSession, sh_a, sh_b)
+    union = F.size(sh_a) + F.size(sh_b) - inter
+    keep = [F.col(c) for c in pairs.columns] + [
+        F.col("est_jaccard"),
+        F.col("jaccard"),
+    ]
     return (
-        pairs.join(sa, a)
-        .join(sb, b)
-        .withColumn("est_jaccard", minhash_jaccard_expr("mh_a", "mh_b"))
+        pairs.join(sa, F.col(a) == F.col(f"_va.{id_col}"))
+        .join(sb, F.col(b) == F.col(f"_vb.{id_col}"))
+        .withColumn("est_jaccard", minhash_jaccard_expr(mh_a, mh_b))
         .filter(F.col("est_jaccard") >= threshold - estimate_margin)
         .withColumn(
             "jaccard",
@@ -155,20 +214,25 @@ def _verify_joined_once(
                 F.lit(0.0)
             ),
         )
-        .drop("mh_a", "mh_b", "sh_a", "sh_b")
+        # explicit final projection: a self-join re-ids the right side's
+        # attributes (DeduplicateRelations), so pre-join Column handles
+        # cannot name the copies to drop
+        .select(*keep)
     )
 
 
-def _maybe_broadcast(df: DataFrame, measured_bytes: int):
-    """Broadcast a materialized frame when its MEASURED bytes fit the
-    session cap (guide §3.1: explicit broadcast when you KNOW the side is
-    small — here from an exact aggregate, not an estimate). Falls back to
-    the plain frame (shuffled join) above the cap, so scale behavior is
-    unchanged."""
-    spark = df.sparkSession
+def _reuse_broadcast_cap(spark) -> int:
+    """The byte cap under which a MEASURED side table is broadcast (guide
+    §3.1: explicit broadcast when you KNOW the side is small — here from an
+    exact aggregate, not an estimate). Above the cap callers fall back to
+    the shuffled join, so scale behavior is unchanged."""
     cap = int(spark.conf.get("lash.verify.broadcastBytes", str(128 * 1024 * 1024)))
-    thr = max(cap, _broadcast_threshold_bytes(spark))
-    return F.broadcast(df) if measured_bytes < thr else df
+    return max(cap, _broadcast_threshold_bytes(spark))
+
+
+def _maybe_broadcast(df: DataFrame, measured_bytes: int):
+    """Broadcast a materialized frame when its measured bytes fit the cap."""
+    return F.broadcast(df) if measured_bytes < _reuse_broadcast_cap(df.sparkSession) else df
 
 
 def estimate_pairs(pairs: DataFrame, sig_df: DataFrame, id_col: str = "url") -> DataFrame:
@@ -192,12 +256,20 @@ def estimate_pairs(pairs: DataFrame, sig_df: DataFrame, id_col: str = "url") -> 
         .localCheckpoint(eager=True)
     )
     st = mh.agg(F.count(F.lit(1)).alias("n"), F.sum(F.size("minhash")).alias("tot")).first()
-    mh = _maybe_broadcast(mh, (st["tot"] or 0) * 4 + (st["n"] or 0) * 48)
+    # one exchange for both joins (see _verify_joined_once): aliased views
+    # of the same relation keyed on the same column reuse the broadcast
+    ma, mb = mh.alias("_ea"), mh.alias("_eb")
+    if (st["tot"] or 0) * 4 + (st["n"] or 0) * 48 < _reuse_broadcast_cap(pairs.sparkSession):
+        ma, mb = F.broadcast(ma), F.broadcast(mb)
+    keep = [F.col(c) for c in pairs.columns] + [F.col("est_jaccard")]
     return (
-        pairs.join(mh.withColumnsRenamed({id_col: a, "minhash": "mh_a"}), a)
-        .join(mh.withColumnsRenamed({id_col: b, "minhash": "mh_b"}), b)
-        .withColumn("est_jaccard", minhash_jaccard_expr("mh_a", "mh_b"))
-        .drop("mh_a", "mh_b")
+        pairs.join(ma, F.col(a) == F.col(f"_ea.{id_col}"))
+        .join(mb, F.col(b) == F.col(f"_eb.{id_col}"))
+        .withColumn(
+            "est_jaccard",
+            minhash_jaccard_expr(F.col("_ea.minhash"), F.col("_eb.minhash")),
+        )
+        .select(*keep)
     )
 
 
@@ -248,19 +320,28 @@ def exact_jaccard_join(
     # crosses an exchange carrying array payloads (the r5 plan's second
     # join shuffled pairs WITH sh_a aboard — the dominant verify bytes at
     # 500k, BENCH/VERIFY_PROFILE.json pair_join_intersect)
-    sets = _maybe_broadcast(sets, (st["tot"] or 0) * 8 + (st["n"] or 0) * 48)
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    # one exchange for both joins (see _verify_joined_once): aliased views
+    # of the same materialized relation keyed on the same column reuse the
+    # broadcast (or the shuffled fallback's hash exchange)
+    ja, jb = sets.alias("_ja"), sets.alias("_jb")
+    if (st["tot"] or 0) * 8 + (st["n"] or 0) * 48 < _reuse_broadcast_cap(
+        pairs.sparkSession
+    ):
+        ja, jb = F.broadcast(ja), F.broadcast(jb)
+    sh_a, sh_b = F.col("_ja.sh"), F.col("_jb.sh")
+    inter = _intersect_size(pairs.sparkSession, sh_a, sh_b)
+    union = F.size(sh_a) + F.size(sh_b) - inter
+    keep = [F.col(c) for c in pairs.columns] + [F.col("jaccard")]
     return (
-        pairs.join(sets.withColumnsRenamed({id_col: a, "sh": "sh_a"}), a)
-        .join(sets.withColumnsRenamed({id_col: b, "sh": "sh_b"}), b)
+        pairs.join(ja, F.col(a) == F.col(f"_ja.{id_col}"))
+        .join(jb, F.col(b) == F.col(f"_jb.{id_col}"))
         .withColumn(
             "jaccard",
             F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
                 F.lit(0.0)
             ),
         )
-        .drop("sh_a", "sh_b")
+        .select(*keep)
     )
 
 
@@ -313,7 +394,7 @@ def cross_verify_pairs(
             )
             return F.broadcast(side) if side_bytes < thr else side
 
-        inter = F.size(F.array_intersect("sh_q", "sh_r"))
+        inter = _intersect_size(pairs.sparkSession, F.col("sh_q"), F.col("sh_r"))
         union = F.size("sh_q") + F.size("sh_r") - inter
         return (
             pairs.join(_side(sig_q, q, "q"), q)
@@ -364,7 +445,7 @@ def cross_verify_pairs(
             )
         return src.localCheckpoint(eager=False)
 
-    inter = F.size(F.array_intersect("sh_q", "sh_r"))
+    inter = _intersect_size(pairs.sparkSession, F.col("sh_q"), F.col("sh_r"))
     union = F.size("sh_q") + F.size("sh_r") - inter
     return (
         pairs.join(_sets(docs_q, sig_q, q), q)

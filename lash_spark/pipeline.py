@@ -10,8 +10,6 @@ rows (O6); without one it runs as a single lazy plan (tests / entry()).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -25,12 +23,36 @@ from lash_spark.operators.signatures import build_signatures
 from lash_spark.operators.verify import cross_verify_pairs, verify_pairs
 
 
-@dataclass
 class DedupResult:
-    signatures: DataFrame
-    candidates: DataFrame
-    dup_pairs: DataFrame
-    clusters: DataFrame
+    """Pipeline outputs. ``clusters`` accepts a DataFrame or a zero-arg
+    thunk: connected components is an EAGER operator (its convergence
+    checksum and the driver-local union-find both run Spark actions at
+    build time), so on the lazy no-catalog path the pipeline hands over a
+    thunk and a consumer that never touches ``.clusters`` never pays for
+    clustering (guide §1.2: don't compute what you throw away). The
+    catalog path still materializes eagerly — cluster resume/checkpoint
+    semantics require the stage to commit with the run."""
+
+    def __init__(
+        self,
+        signatures: DataFrame,
+        candidates: DataFrame,
+        dup_pairs: DataFrame,
+        clusters,
+    ):
+        self.signatures = signatures
+        self.candidates = candidates
+        self.dup_pairs = dup_pairs
+        if isinstance(clusters, DataFrame):
+            self._clusters, self._clusters_thunk = clusters, None
+        else:
+            self._clusters, self._clusters_thunk = None, clusters
+
+    @property
+    def clusters(self) -> DataFrame:
+        if self._clusters is None:
+            self._clusters = self._clusters_thunk()
+        return self._clusters
 
 
 def _resolve_persist_shingles(cfg: PipelineConfig, normed: DataFrame) -> bool:
@@ -232,7 +254,10 @@ def dedup_pipeline(
     if catalog is not None:
         clusters, _ = run_stage(catalog, "clusters", phash, build_clusters)
     else:
-        clusters = build_clusters()
+        # deferred: connected_components runs eager actions, and not every
+        # consumer reads clusters (the near-dup-pairs surface stops at
+        # dup_pairs) — DedupResult resolves the thunk on first access
+        clusters = build_clusters
 
     return DedupResult(sigs, candidates, verified, clusters)
 

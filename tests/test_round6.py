@@ -271,3 +271,82 @@ def test_cc_local_path_string_ids(spark):
     assert got == {
         "u/a": "u/a", "u/b": "u/a", "u/c": "u/a", "u/x": "u/x", "u/y": "u/x"
     }
+
+
+def test_intersect_arrow_kernel_matches_jvm(spark):
+    """The Arrow |A∩B| kernel (default) and the JVM array_intersect plan
+    must produce identical verified pairs and jaccards — including empty
+    sets and doc pairs with no overlap."""
+    from lash_spark.operators.lsh import lsh_candidate_pairs
+    from lash_spark.operators.normalize import with_normalized_text
+    from lash_spark.operators.signatures import build_signatures
+    from lash_spark.operators.verify import verify_pairs
+    from lash_spark.config import SketchParams
+    from lash_spark.synth import generate_pages
+
+    pages = generate_pages(spark, 260, seed=23, partitions=2)
+    params = SketchParams()
+    normed = with_normalized_text(pages.select("url", "text"), "text")
+    sigs = build_signatures(normed, params, with_shingles=True).persist()
+    cands = lsh_candidate_pairs(sigs, id_col="url").persist()
+
+    def run():
+        return {
+            (r["url_a"], r["url_b"], round(r["jaccard"], 12))
+            for r in verify_pairs(
+                cands, normed, params, id_col="url", sig_df=sigs,
+                with_distances=False,
+            ).collect()
+        }
+
+    arrow = run()
+    spark.conf.set("lash.verify.intersect", "jvm")
+    try:
+        jvm = run()
+    finally:
+        spark.conf.unset("lash.verify.intersect")
+    assert arrow and arrow == jvm
+    sigs.unpersist()
+    cands.unpersist()
+
+
+def test_intersect_udf_single_eval_in_plan(spark):
+    """The intersect kernel is marked non-deterministic so a filter on its
+    derived jaccard column cannot be substituted below it and evaluate the
+    kernel twice (guide §4.4 double-BatchEvalPython shape): the verify plan
+    must contain exactly one Python evaluation node."""
+    from lash_spark.operators.lsh import lsh_candidate_pairs
+    from lash_spark.operators.normalize import with_normalized_text
+    from lash_spark.operators.signatures import build_signatures
+    from lash_spark.operators.verify import verify_pairs
+    from lash_spark.config import SketchParams
+    from lash_spark.synth import generate_pages
+
+    pages = generate_pages(spark, 200, seed=13, partitions=2)
+    params = SketchParams()
+    normed = with_normalized_text(pages.select("url", "text"), "text")
+    sigs = build_signatures(normed, params, with_shingles=True).persist()
+    cands = lsh_candidate_pairs(sigs, id_col="url")
+    verified = verify_pairs(
+        cands, normed, params, id_col="url", sig_df=sigs, with_distances=False
+    )
+    assert verified.count() > 0
+    plan = verified._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1 and "BatchEvalPython" not in plan
+    sigs.unpersist()
+
+
+def test_dedup_result_clusters_lazy_no_catalog(spark):
+    """On the no-catalog path DedupResult.clusters is a deferred thunk:
+    connected components (an eager operator) must not run unless clusters
+    is read, and reading it twice returns the same frame."""
+    from lash_spark.config import PipelineConfig
+    from lash_spark.pipeline import dedup_pipeline
+    from lash_spark.synth import generate_pages
+
+    pages = generate_pages(spark, 120, seed=5, partitions=2)
+    res = dedup_pipeline(pages, PipelineConfig(), id_col="url", text_col="text")
+    assert res._clusters is None and res._clusters_thunk is not None
+    c1 = res.clusters
+    assert res._clusters is c1 and res.clusters is c1
+    assert c1.count() == 120
