@@ -276,13 +276,35 @@ def exact_substring_pairs(
         .unionByName(pairs.select(F.col(b).alias(id_col)))
         .distinct()
     )
-    wsets = d.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col), make_window_set_udf(min_len)(F.col(text_col)).alias("ws")
+    wsets = (
+        d.join(cand_ids, id_col, "left_semi")
+        .select(
+            F.col(id_col), make_window_set_udf(min_len)(F.col(text_col)).alias("ws")
+        )
+        # materialize ONCE: the set subtree feeds both join sides with
+        # different join keys, so exchange reuse never fires and the window
+        # UDF (plus the semi-join above it) would run twice — the same
+        # defect exact_jaccard_join fixed in r5 (~2x on the verify step).
+        # Eager: the measured-broadcast decision needs the real footprint.
+        .localCheckpoint(eager=True)
     )
+    st = wsets.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("ws")).alias("tot")
+    ).first()
+    from lash_spark.operators.verify import _reuse_broadcast_cap
+
+    # aliased views of the one materialized relation, keyed on the same
+    # column: the second join reuses the first's broadcast (or shuffled)
+    # exchange instead of building it twice (see _verify_joined_once)
+    wa, wb = wsets.alias("_wa"), wsets.alias("_wb")
+    if (st["tot"] or 0) * 8 + (st["n"] or 0) * 48 < _reuse_broadcast_cap(
+        pairs.sparkSession
+    ):
+        wa, wb = F.broadcast(wa), F.broadcast(wb)
     return (
-        pairs.join(wsets.withColumnsRenamed({id_col: a, "ws": "ws_a"}), a)
-        .join(wsets.withColumnsRenamed({id_col: b, "ws": "ws_b"}), b)
-        .filter(F.arrays_overlap("ws_a", "ws_b"))
+        pairs.join(wa, F.col(a) == F.col(f"_wa.{id_col}"))
+        .join(wb, F.col(b) == F.col(f"_wb.{id_col}"))
+        .filter(F.arrays_overlap(F.col("_wa.ws"), F.col("_wb.ws")))
         .select(a, b)
     )
 
