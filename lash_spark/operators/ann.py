@@ -42,6 +42,18 @@ def cosine_expr(a, b):
     return F.when(n > 0, d / n).otherwise(F.lit(0.0))
 
 
+def cosine_from_norms(a, b, norm_a, norm_b):
+    """Cosine with the per-vector norms precomputed ONCE per side instead
+    of per scored pair: the interpreted norm aggregate was 2/3 of each
+    scored row's HOF work (dot + both norms — guide §1.2 per-task work).
+    Numerically identical to :func:`cosine_expr` — a vector's norm is the
+    same fold over the same array wherever it is evaluated, and the
+    (norm_a * norm_b) product and when(n > 0) guard are unchanged."""
+    d = dot_expr(a, b)
+    n = norm_a * norm_b
+    return F.when(n > 0, d / n).otherwise(F.lit(0.0))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -55,14 +67,19 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("q_norm", norm_expr(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).withColumn("c_norm", norm_expr(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("item_id"))
-        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            cosine_from_norms(
+                F.col("qv"), F.col("cv"), F.col("q_norm"), F.col("c_norm")
+            ),
+        )
         .select("query_id", "item_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
@@ -115,15 +132,24 @@ def srp_topk(
     c = corpus.select(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", srp(F.col("cv")))
+    ).withColumn("bucket", srp(F.col("cv"))).withColumn(
+        "c_norm", norm_expr(F.col("cv"))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", srp(F.col("qv")))
+    ).withColumn("bucket", srp(F.col("qv"))).withColumn(
+        "q_norm", norm_expr(F.col("qv"))
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("item_id"))
-        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            cosine_from_norms(
+                F.col("qv"), F.col("cv"), F.col("q_norm"), F.col("c_norm")
+            ),
+        )
         .select("query_id", "item_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
@@ -154,11 +180,14 @@ def embedding_near_dup_pairs(
     )
     pairs = pairs_from_keys(keyed, id_col=id_col, max_bucket=max_bucket)
     a, b = f"{id_col}_a", f"{id_col}_b"
-    side = v.select(F.col(id_col), "v")
+    side = v.select(F.col(id_col), "v").withColumn("vn", norm_expr(F.col("v")))
     return (
-        pairs.join(side.withColumnsRenamed({id_col: a, "v": "va"}), a)
-        .join(side.withColumnsRenamed({id_col: b, "v": "vb"}), b)
-        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        pairs.join(side.withColumnsRenamed({id_col: a, "v": "va", "vn": "na"}), a)
+        .join(side.withColumnsRenamed({id_col: b, "v": "vb", "vn": "nb"}), b)
+        .withColumn(
+            "cosine",
+            cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+        )
         .filter(F.col("cosine") >= cosine_threshold)
         .select(a, b, "cosine")
     )
@@ -288,7 +317,7 @@ def ivf_fit(
     x = np.asarray([r["cu"] for r in train], dtype=np.float64)
     centers = _local_kmeans(x, n_lists, seed)
     assigned = c.withColumn("cell", _make_cell_udf(centers)(F.col("cu"))).select(
-        "item_id", "cv", "cell"
+        "item_id", "cv", "cell", norm_expr(F.col("cv")).alias("c_norm")
     )
     # centroid table is tiny (n_lists rows) — broadcast to score query->cell
     cent = spark.createDataFrame(
@@ -318,7 +347,9 @@ def ivf_probe(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("qu", _unit_expr(F.col("qv")))
+    ).withColumn("qu", _unit_expr(F.col("qv"))).withColumn(
+        "q_norm", norm_expr(F.col("qv"))
+    )
     l2 = F.sqrt(
         F.aggregate(
             F.zip_with("qu", "centroid", lambda x, y: (x - y) * (x - y)),
@@ -332,9 +363,9 @@ def ivf_probe(
         .withColumn("c_dist", l2)
         .withColumn("c_rank", F.row_number().over(wq))
         .filter(F.col("c_rank") <= n_probe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "q_norm", "cell")
     )
-    cos = cosine_expr(F.col("qv"), F.col("cv"))
+    cos = cosine_from_norms(F.col("qv"), F.col("cv"), F.col("q_norm"), F.col("c_norm"))
     if cosine_round is not None:  # round-before-rank for oracle-stable order
         cos = F.round(cos, cosine_round)
     scored = (
