@@ -82,20 +82,41 @@ def _inter_size_udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-# the value is deterministic; the flag only stops the optimizer substituting
-# the UDF below a filter on its derived column and evaluating it twice
-# (guide §4.4 — the withColumn+filter double-BatchEvalPython shape)
+# Marked NON-DETERMINISTIC (value is deterministic): Catalyst's filter
+# pushdown checks the PROJECT's determinism, so with a deterministic
+# kernel the downstream jaccard-threshold filter was substituted below the
+# projection and every est-passing pair evaluated the kernel — and shipped
+# both shingle arrays over Arrow — TWICE (guide §4.4's double-eval shape;
+# measured: two ArrowEvalPython nodes). The flag blocks that push. The
+# 3x-eval trap the flag creates when one expression references the UDF
+# three times is avoided structurally: _with_jaccard references the kernel
+# exactly ONCE in its own projection and derives jaccard from the column.
 _inter_size_udf = _inter_size_udf.asNondeterministic()
 
 
-def _intersect_size(pairs_spark, sh_a, sh_b):
-    """size(A ∩ B) as a Column: the Arrow kernel by default, the JVM
-    ``array_intersect`` expression under ``lash.verify.intersect=jvm``
-    (escape hatch; also keeps the zero-Python plan testable)."""
-    engine = pairs_spark.conf.get("lash.verify.intersect", "arrow")
+def _with_jaccard(df, spark, sh_a, sh_b):
+    """Attach exact ``jaccard`` = |A∩B| / |A∪B| for the two shingle-set
+    columns. The intersection size lands in its own projection, referenced
+    exactly once (see the determinism note above); the jaccard expression
+    reads the COLUMN, so the optimizer can neither duplicate the kernel
+    nor push a threshold filter below it. Under
+    ``lash.verify.intersect=jvm`` the kernel is the deterministic JVM
+    ``array_intersect`` expression instead — there the indirection
+    collapses and the threshold pushdown (measured faster on the JVM
+    plan) still fires."""
+    engine = spark.conf.get("lash.verify.intersect", "arrow")
     if engine == "jvm":
-        return F.size(F.array_intersect(sh_a, sh_b))
-    return _inter_size_udf(sh_a, sh_b)
+        inter = F.size(F.array_intersect(sh_a, sh_b))
+    else:
+        inter = _inter_size_udf(sh_a, sh_b)
+    df = df.withColumn("_iu", inter)
+    union = F.size(sh_a) + F.size(sh_b) - F.col("_iu")
+    return df.withColumn(
+        "jaccard",
+        F.when(
+            union > 0, F.col("_iu").cast("double") / union.cast("double")
+        ).otherwise(F.lit(0.0)),
+    ).drop("_iu")
 
 
 def make_exact_jaccard_udf(k: int):
@@ -197,8 +218,6 @@ def _verify_joined_once(
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     mh_a, mh_b = F.col("_va.minhash"), F.col("_vb.minhash")
     sh_a, sh_b = F.col("_va.shingles"), F.col("_vb.shingles")
-    inter = _intersect_size(pairs.sparkSession, sh_a, sh_b)
-    union = F.size(sh_a) + F.size(sh_b) - inter
     keep = [F.col(c) for c in pairs.columns] + [
         F.col("est_jaccard"),
         F.col("jaccard"),
@@ -208,11 +227,8 @@ def _verify_joined_once(
         .join(sb, F.col(b) == F.col(f"_vb.{id_col}"))
         .withColumn("est_jaccard", minhash_jaccard_expr(mh_a, mh_b))
         .filter(F.col("est_jaccard") >= threshold - estimate_margin)
-        .withColumn(
-            "jaccard",
-            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
-                F.lit(0.0)
-            ),
+        .transform(
+            lambda df: _with_jaccard(df, pairs.sparkSession, sh_a, sh_b)
         )
         # explicit final projection: a self-join re-ids the right side's
         # attributes (DeduplicateRelations), so pre-join Column handles
@@ -329,18 +345,11 @@ def exact_jaccard_join(
     ):
         ja, jb = F.broadcast(ja), F.broadcast(jb)
     sh_a, sh_b = F.col("_ja.sh"), F.col("_jb.sh")
-    inter = _intersect_size(pairs.sparkSession, sh_a, sh_b)
-    union = F.size(sh_a) + F.size(sh_b) - inter
     keep = [F.col(c) for c in pairs.columns] + [F.col("jaccard")]
     return (
         pairs.join(ja, F.col(a) == F.col(f"_ja.{id_col}"))
         .join(jb, F.col(b) == F.col(f"_jb.{id_col}"))
-        .withColumn(
-            "jaccard",
-            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
-                F.lit(0.0)
-            ),
-        )
+        .transform(lambda df: _with_jaccard(df, pairs.sparkSession, sh_a, sh_b))
         .select(*keep)
     )
 
@@ -394,18 +403,15 @@ def cross_verify_pairs(
             )
             return F.broadcast(side) if side_bytes < thr else side
 
-        inter = _intersect_size(pairs.sparkSession, F.col("sh_q"), F.col("sh_r"))
-        union = F.size("sh_q") + F.size("sh_r") - inter
         return (
             pairs.join(_side(sig_q, q, "q"), q)
             .join(_side(sig_r, r, "r"), r)
             .withColumn("est_jaccard", minhash_jaccard_expr("mh_q", "mh_r"))
             .filter(F.col("est_jaccard") >= threshold - estimate_margin)
-            .withColumn(
-                "jaccard",
-                F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
-                    F.lit(0.0)
-                ),
+            .transform(
+                lambda df: _with_jaccard(
+                    df, pairs.sparkSession, F.col("sh_q"), F.col("sh_r")
+                )
             )
             .filter(F.col("jaccard") >= threshold)
             .select(q, r, "jaccard")
@@ -445,14 +451,11 @@ def cross_verify_pairs(
             )
         return src.localCheckpoint(eager=False)
 
-    inter = _intersect_size(pairs.sparkSession, F.col("sh_q"), F.col("sh_r"))
-    union = F.size("sh_q") + F.size("sh_r") - inter
     return (
         pairs.join(_sets(docs_q, sig_q, q), q)
         .join(_sets(docs_r, sig_r, r), r)
-        .withColumn(
-            "jaccard",
-            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0)),
+        .transform(
+            lambda df: _with_jaccard(df, pairs.sparkSession, F.col("sh_q"), F.col("sh_r"))
         )
         .filter(F.col("jaccard") >= threshold)
         .select(q, r, "jaccard")
@@ -497,7 +500,9 @@ def verify_pairs(
     ):
         out = _verify_joined_once(
             pairs, sig_df, params, id_col, threshold, estimate_margin
-        ).filter(F.col("jaccard") >= threshold)
+        ).filter(
+            F.col("jaccard") >= threshold
+        )
         if with_distances:
             out = with_distance_columns(
                 out, "jaccard", k=params.shingle_k, model=params.distance_model,
@@ -542,7 +547,9 @@ def verify_pairs(
         out = joined.withColumn("jaccard", udf(F.col("text_a"), F.col("text_b"))).drop(
             "text_a", "text_b"
         )
-    out = out.filter(F.col("jaccard") >= threshold)
+    out = out.filter(
+        F.col("jaccard") >= threshold
+    )
     if with_distances:
         out = with_distance_columns(
             out, "jaccard", k=params.shingle_k, model=params.distance_model, id_col=id_col

@@ -311,10 +311,11 @@ def test_intersect_arrow_kernel_matches_jvm(spark):
 
 
 def test_intersect_udf_single_eval_in_plan(spark):
-    """The intersect kernel is marked non-deterministic so a filter on its
-    derived jaccard column cannot be substituted below it and evaluate the
-    kernel twice (guide §4.4 double-BatchEvalPython shape): the verify plan
-    must contain exactly one Python evaluation node."""
+    """The verify plan must evaluate the intersect kernel ONCE per row:
+    exactly one ArrowEvalPython node, and the three jaccard-expression
+    references to the intersection must collapse into a single pythonUDF
+    slot inside it (deterministic-UDF dedup; the non-deterministic variant
+    evaluated the kernel 3x per row)."""
     from lash_spark.operators.lsh import lsh_candidate_pairs
     from lash_spark.operators.normalize import with_normalized_text
     from lash_spark.operators.signatures import build_signatures
@@ -333,6 +334,7 @@ def test_intersect_udf_single_eval_in_plan(spark):
     assert verified.count() > 0
     plan = verified._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1 and "BatchEvalPython" not in plan
+    assert "pythonUDF0" in plan and "pythonUDF1" not in plan
     sigs.unpersist()
 
 
