@@ -9,9 +9,12 @@ at web scale we verify in tiers:
    - ``shingle_join`` (default): each candidate document's unique shingle-
      hash set is computed ONCE (map-only Arrow UDF, or read off the
      persisted signature table), then the per-pair |A∩B| runs through a
-     vectorized Arrow kernel (sorted-set searchsorted — measured 3-4x over
-     the JVM ``array_intersect`` expression, which builds a hash set per
-     row; ``lash.verify.intersect=jvm`` restores the pure-JVM plan).
+     vectorized Arrow kernel (sorted-set searchsorted — measured 7x on
+     the 50k-synth verify over the JVM ``array_intersect`` expression,
+     which builds a hash set per row). ``lash.verify.intersect``:
+     ``auto`` (default) picks Arrow at/above 1M measured member-set
+     hashes and the JVM expression below (where the Python round-trip
+     costs more than the intersection); ``arrow``/``jvm`` force.
      Big near-clique clusters (boilerplate families) re-verify each hub
      document hundreds of times — this computes each document's set once
      and never re-shingles a document.
@@ -94,17 +97,27 @@ def _inter_size_udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
 _inter_size_udf = _inter_size_udf.asNondeterministic()
 
 
-def _with_jaccard(df, spark, sh_a, sh_b):
+def _with_jaccard(df, spark, sh_a, sh_b, set_hashes: int | None = None):
     """Attach exact ``jaccard`` = |A∩B| / |A∪B| for the two shingle-set
     columns. The intersection size lands in its own projection, referenced
     exactly once (see the determinism note above); the jaccard expression
     reads the COLUMN, so the optimizer can neither duplicate the kernel
-    nor push a threshold filter below it. Under
-    ``lash.verify.intersect=jvm`` the kernel is the deterministic JVM
-    ``array_intersect`` expression instead — there the indirection
-    collapses and the threshold pushdown (measured faster on the JVM
-    plan) still fires."""
-    engine = spark.conf.get("lash.verify.intersect", "arrow")
+    nor push a threshold filter below it. Under the JVM engine the kernel
+    is the deterministic ``array_intersect`` expression instead — there
+    the indirection collapses and the threshold pushdown (measured faster
+    on the JVM plan) still fires.
+
+    ``lash.verify.intersect``: ``auto`` (default) picks the engine from
+    ``set_hashes`` — the MEASURED total member-set volume the caller
+    already aggregated for its broadcast decision. Both signs are
+    measured at sf0.1/50k: the Arrow kernel is 7x on the 50k-synth verify
+    (16.5M member hashes) but loses ~0.3-0.5 s per call at sf0.1 (399
+    pairs, ~150k hashes), where the per-stage Python round-trip exceeds
+    the trivial JVM intersection work. ``arrow``/``jvm`` force."""
+    engine = spark.conf.get("lash.verify.intersect", "auto")
+    if engine == "auto":
+        floor = int(spark.conf.get("lash.verify.arrowMinHashes", str(1_000_000)))
+        engine = "arrow" if set_hashes is None or set_hashes >= floor else "jvm"
     if engine == "jvm":
         inter = F.size(F.array_intersect(sh_a, sh_b))
     else:
@@ -228,7 +241,9 @@ def _verify_joined_once(
         .withColumn("est_jaccard", minhash_jaccard_expr(mh_a, mh_b))
         .filter(F.col("est_jaccard") >= threshold - estimate_margin)
         .transform(
-            lambda df: _with_jaccard(df, pairs.sparkSession, sh_a, sh_b)
+            lambda df: _with_jaccard(
+                df, pairs.sparkSession, sh_a, sh_b, set_hashes=st["tot"] or 0
+            )
         )
         # explicit final projection: a self-join re-ids the right side's
         # attributes (DeduplicateRelations), so pre-join Column handles
@@ -349,7 +364,11 @@ def exact_jaccard_join(
     return (
         pairs.join(ja, F.col(a) == F.col(f"_ja.{id_col}"))
         .join(jb, F.col(b) == F.col(f"_jb.{id_col}"))
-        .transform(lambda df: _with_jaccard(df, pairs.sparkSession, sh_a, sh_b))
+        .transform(
+            lambda df: _with_jaccard(
+                df, pairs.sparkSession, sh_a, sh_b, set_hashes=st["tot"] or 0
+            )
+        )
         .select(*keep)
     )
 
@@ -387,6 +406,8 @@ def cross_verify_pairs(
         cap = int(spark.conf.get("lash.verify.broadcastBytes", str(128 * 1024 * 1024)))
         thr = max(cap, _broadcast_threshold_bytes(spark))
 
+        side_hashes: list = []
+
         def _side(sig, pair_col, suffix):
             ids = pairs.select(F.col(pair_col).alias(id_col)).distinct()
             side = (
@@ -397,6 +418,7 @@ def cross_verify_pairs(
             st = side.agg(
                 F.count(F.lit(1)).alias("n"), F.sum(F.size("shingles")).alias("tot")
             ).first()
+            side_hashes.append(st["tot"] or 0)
             side_bytes = (st["tot"] or 0) * 8 + (st["n"] or 0) * 576
             side = side.withColumnsRenamed(
                 {id_col: pair_col, "minhash": f"mh_{suffix}", "shingles": f"sh_{suffix}"}
@@ -410,7 +432,11 @@ def cross_verify_pairs(
             .filter(F.col("est_jaccard") >= threshold - estimate_margin)
             .transform(
                 lambda df: _with_jaccard(
-                    df, pairs.sparkSession, F.col("sh_q"), F.col("sh_r")
+                    df,
+                    pairs.sparkSession,
+                    F.col("sh_q"),
+                    F.col("sh_r"),
+                    set_hashes=sum(side_hashes),
                 )
             )
             .filter(F.col("jaccard") >= threshold)

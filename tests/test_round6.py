@@ -274,7 +274,8 @@ def test_cc_local_path_string_ids(spark):
 
 
 def test_intersect_arrow_kernel_matches_jvm(spark):
-    """The Arrow |A∩B| kernel (default) and the JVM array_intersect plan
+    """The Arrow |A∩B| kernel (forced — the auto default would pick the
+    JVM engine at this tiny set volume) and the JVM array_intersect plan
     must produce identical verified pairs and jaccards — including empty
     sets and doc pairs with no overlap."""
     from lash_spark.operators.lsh import lsh_candidate_pairs
@@ -290,21 +291,21 @@ def test_intersect_arrow_kernel_matches_jvm(spark):
     sigs = build_signatures(normed, params, with_shingles=True).persist()
     cands = lsh_candidate_pairs(sigs, id_col="url").persist()
 
-    def run():
-        return {
-            (r["url_a"], r["url_b"], round(r["jaccard"], 12))
-            for r in verify_pairs(
-                cands, normed, params, id_col="url", sig_df=sigs,
-                with_distances=False,
-            ).collect()
-        }
+    def run(engine):
+        spark.conf.set("lash.verify.intersect", engine)
+        try:
+            return {
+                (r["url_a"], r["url_b"], round(r["jaccard"], 12))
+                for r in verify_pairs(
+                    cands, normed, params, id_col="url", sig_df=sigs,
+                    with_distances=False,
+                ).collect()
+            }
+        finally:
+            spark.conf.unset("lash.verify.intersect")
 
-    arrow = run()
-    spark.conf.set("lash.verify.intersect", "jvm")
-    try:
-        jvm = run()
-    finally:
-        spark.conf.unset("lash.verify.intersect")
+    arrow = run("arrow")
+    jvm = run("jvm")
     assert arrow and arrow == jvm
     sigs.unpersist()
     cands.unpersist()
@@ -328,13 +329,17 @@ def test_intersect_udf_single_eval_in_plan(spark):
     normed = with_normalized_text(pages.select("url", "text"), "text")
     sigs = build_signatures(normed, params, with_shingles=True).persist()
     cands = lsh_candidate_pairs(sigs, id_col="url")
-    verified = verify_pairs(
-        cands, normed, params, id_col="url", sig_df=sigs, with_distances=False
-    )
-    assert verified.count() > 0
-    plan = verified._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ArrowEvalPython") == 1 and "BatchEvalPython" not in plan
-    assert "pythonUDF0" in plan and "pythonUDF1" not in plan
+    spark.conf.set("lash.verify.intersect", "arrow")  # auto would pick jvm here
+    try:
+        verified = verify_pairs(
+            cands, normed, params, id_col="url", sig_df=sigs, with_distances=False
+        )
+        assert verified.count() > 0
+        plan = verified._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1 and "BatchEvalPython" not in plan
+        assert "pythonUDF0" in plan and "pythonUDF1" not in plan
+    finally:
+        spark.conf.unset("lash.verify.intersect")
     sigs.unpersist()
 
 
@@ -352,3 +357,29 @@ def test_dedup_result_clusters_lazy_no_catalog(spark):
     c1 = res.clusters
     assert res._clusters is c1 and res.clusters is c1
     assert c1.count() == 120
+
+
+def test_intersect_auto_picks_jvm_at_tiny_volume(spark):
+    """The auto engine must route tiny member-set volumes to the JVM
+    expression (the Python round-trip measured slower than the whole JVM
+    intersection below ~1M member hashes): at this scale the verify plan
+    contains no Python evaluation."""
+    from lash_spark.operators.lsh import lsh_candidate_pairs
+    from lash_spark.operators.normalize import with_normalized_text
+    from lash_spark.operators.signatures import build_signatures
+    from lash_spark.operators.verify import verify_pairs
+    from lash_spark.config import SketchParams
+    from lash_spark.synth import generate_pages
+
+    pages = generate_pages(spark, 200, seed=13, partitions=2)
+    params = SketchParams()
+    normed = with_normalized_text(pages.select("url", "text"), "text")
+    sigs = build_signatures(normed, params, with_shingles=True).persist()
+    cands = lsh_candidate_pairs(sigs, id_col="url")
+    verified = verify_pairs(
+        cands, normed, params, id_col="url", sig_df=sigs, with_distances=False
+    )
+    assert verified.count() > 0
+    plan = verified._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    sigs.unpersist()
