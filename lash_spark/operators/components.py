@@ -62,18 +62,23 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbr.unionByName(self_e).distinct()
 
 
-def _driver_components(e: DataFrame) -> DataFrame:
+def _driver_components(e: DataFrame, pdf_e=None) -> DataFrame:
     """Union-find on the driver for a KNOWN-bounded canonical edge set:
     materialize the edges (count already verified <= the cap by the
     caller; Arrow toPandas, two flat columns — no per-row JVM Row
     objects), label each touched node with its component's min id, return
     the same (node, component) frame the distributed rounds produce.
     Union-by-min with path compression keeps the final root equal to the
-    component minimum, so labels match the distributed output exactly."""
+    component minimum, so labels match the distributed output exactly.
+
+    ``pdf_e``: the already-collected edge pandas frame when the caller's
+    gating fetch has it in hand (connected_components' bounded take), so
+    the edges cross the Arrow boundary exactly once."""
     import pandas as pd
 
     spark = e.sparkSession
-    pdf_e = e.toPandas()
+    if pdf_e is None:
+        pdf_e = e.toPandas()
     parent: dict = {}
 
     def find(x):
@@ -138,10 +143,19 @@ def connected_components(
     # lazy checkpoints: the per-iteration checksum action materializes them,
     # so each round costs ONE job while lineage still truncates
     e = e.localCheckpoint(eager=False)
-    prev = _checksum(e)
     cap = int(edges.sparkSession.conf.get("lash.cc.localEdgeCap", str(2_000_000)))
-    if cap and prev[0] <= cap:
-        return _driver_components(e)
+    if cap:
+        # gate AND fetch in one bounded action: limit(cap+1).toPandas() is a
+        # CollectLimit (incremental take — on an over-cap graph it stops
+        # after a few partitions instead of scanning everything), so the
+        # common small-graph path pays ONE Spark job total where the old
+        # shape paid a checksum job plus a separate full toPandas pass. At
+        # or under the cap the limit returns the complete edge set, so the
+        # labels are identical by construction.
+        head = e.limit(cap + 1).toPandas()
+        if len(head) <= cap:
+            return _driver_components(e, pdf_e=head)
+    prev = _checksum(e)
     for it in range(max_iterations):
         # _small_star's output is already canonical: both emit branches are
         # oriented src > dst by construction (m is a strict minimum on every

@@ -247,11 +247,18 @@ def cross_pairs_from_keys(
     w = Window.partitionBy("band_id", "key")
     rk = keyed_r.withColumn("r_n", F.count(F.lit(1)).over(w)).persist()
     qk = keyed_q.withColumn("q_n", F.count(F.lit(1)).over(w)).persist()
-    # one tiny cached aggregate per side gates the hot tiers (same rationale
-    # as pairs_from_keys: buckets above max_bucket are rare, and the salted
-    # replication stages should not build when provably empty)
-    mx_r = rk.agg(F.max("r_n")).first()[0] or 0
-    mx_q = qk.agg(F.max("q_n")).first()[0] or 0
+    # one tiny cached aggregate gates the hot tiers (same rationale as
+    # pairs_from_keys: buckets above max_bucket are rare, and the salted
+    # replication stages should not build when provably empty). Both sides'
+    # maxima ride ONE action — a union of the two single-row aggregates —
+    # so both persists fill in one Spark job instead of two round-trips.
+    mx_rows = (
+        rk.agg(F.max("r_n").alias("m")).withColumn("_s", F.lit("r"))
+        .unionByName(qk.agg(F.max("q_n").alias("m")).withColumn("_s", F.lit("q")))
+        .collect()
+    )
+    mx = {r["_s"]: r["m"] or 0 for r in mx_rows}
+    mx_r, mx_q = mx.get("r", 0), mx.get("q", 0)
     salts = spark.range(salt_buckets).select(F.col("id").cast("int").alias("salt"))
 
     def _salt(df):

@@ -199,10 +199,15 @@ def _verify_joined_once(
         .unionByName(pairs.select(F.col(b).alias(id_col)))
         .distinct()
     )
+    # lazy checkpoint + immediate stats action: the aggregate below is the
+    # first action on the frame, so it materializes the checkpoint AND
+    # returns the exact byte stats in ONE Spark job (the old eager
+    # checkpoint paid a dedicated materialization job first — pure
+    # scheduler overhead at suite scale, one job saved per verify call)
     side = (
         sig_df.join(members, id_col, "left_semi")
         .select(F.col(id_col), F.col("minhash"), F.col("shingles"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     st = side.agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.size("shingles")).alias("tot")
@@ -281,10 +286,12 @@ def estimate_pairs(pairs: DataFrame, sig_df: DataFrame, id_col: str = "url") -> 
         .unionByName(pairs.select(F.col(b).alias(id_col)))
         .distinct()
     )
+    # lazy checkpoint, materialized by the stats aggregate in one job (see
+    # _verify_joined_once)
     mh = (
         sig_df.join(members, id_col, "left_semi")
         .select(F.col(id_col), "minhash")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     st = mh.agg(F.count(F.lit(1)).alias("n"), F.sum(F.size("minhash")).alias("tot")).first()
     # one exchange for both joins (see _verify_joined_once): aliased views
@@ -341,10 +348,11 @@ def exact_jaccard_join(
         # DIFFERENT join keys, so Spark's exchange reuse never fires and
         # the shingle UDF (plus the semi-join above it) would run twice.
         # Measured (tools/verify_profile.py experiment, 20k docs): ~2x on
-        # the whole verify stage. Eager: the measured-broadcast decision
-        # below needs the real byte footprint. Bounded by candidate
-        # MEMBERS, not pairs.
-        .localCheckpoint(eager=True)
+        # the whole verify stage. Lazy: the stats aggregate right below is
+        # the frame's first action, so it materializes the checkpoint and
+        # returns the measured byte footprint in one job. Bounded by
+        # candidate MEMBERS, not pairs.
+        .localCheckpoint(eager=False)
     )
     st = sets.agg(F.count(F.lit(1)).alias("n"), F.sum(F.size("sh")).alias("tot")).first()
     # broadcast when the measured set bytes fit: the pair table then never
@@ -413,7 +421,8 @@ def cross_verify_pairs(
             side = (
                 sig.join(ids, id_col, "left_semi")
                 .select(F.col(id_col), F.col("minhash"), F.col("shingles"))
-                .localCheckpoint(eager=True)
+                # lazy; the stats aggregate below materializes it (one job)
+                .localCheckpoint(eager=False)
             )
             st = side.agg(
                 F.count(F.lit(1)).alias("n"), F.sum(F.size("shingles")).alias("tot")
