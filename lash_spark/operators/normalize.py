@@ -50,6 +50,23 @@ def with_normalized_text(
     return out.filter(F.length(out_col) >= min_len)
 
 
+def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Repartition a GENUINELY under-partitioned frame so map-heavy stages
+    (per-position explodes, Arrow UDFs) actually use the cluster — the
+    single-small-parquet-file case: the sf0.1 documents table scans as ONE
+    partition against 256-way default parallelism, so every downstream
+    map pass ran single-core while 31 cores idled (measured: the SA window
+    explode alone was ~2 s per pass at sf0.1). A keyless repartition is
+    not free (full payload shuffle + the SPARK-23207 per-task sort), so an
+    input already within 4x of the target keeps its layout — at real scale
+    inputs arrive with >> cores splits and this is a no-op. Same rule
+    build_signatures has used since round 6 batch 1, now shared."""
+    target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 4 < target:
+        return df.repartition(target)
+    return df
+
+
 def html_to_text(html_col: Column | str) -> Column:
     """Extraction stub for the (url, html:binary) ingest path: strips tags
     from UTF-8 html. Real WARC extraction (trafilatura-class) is out of

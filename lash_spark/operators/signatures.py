@@ -208,14 +208,11 @@ def build_signatures(
     cluster's parallelism (single small parquet file), repartition so the
     map-only UDF stage actually fans out — at real scale inputs arrive
     with >> cores splits and this is a no-op."""
-    narrow = docs.select(id_col, text_col, *carry_cols)
-    target = min_parallelism or docs.sparkSession.sparkContext.defaultParallelism
+    from lash_spark.operators.normalize import fan_out
+
     # fan out only GENUINELY under-partitioned inputs (a single small
-    # parquet file). A keyless repartition is not free — it shuffles the
-    # full text payload and pays a per-task sort (SPARK-23207) — so an
-    # input already within 4x of the target parallelism keeps its layout
-    # (128-partition synth input vs 256 target was a pure-waste 100 MB
+    # parquet file) — see fan_out: a 128-partition synth input vs 256
+    # target keeps its layout (repartitioning it was a pure-waste 100 MB
     # text shuffle on the 50k bench query).
-    if narrow.rdd.getNumPartitions() * 4 < target:
-        narrow = narrow.repartition(target)
+    narrow = fan_out(docs.select(id_col, text_col, *carry_cols), min_parallelism)
     return add_signatures(narrow, params, plan, text_col, with_shingles).drop(text_col)

@@ -144,6 +144,12 @@ def suffix_ranks(
     precomputed ``_alphabet_compaction`` result (or None for the generic
     21-bit packing) to avoid re-running the distinct-chars sweep when the
     caller already did."""
+    # NOTE: deliberately NOT fan_out'd — measured at sf0.1 (round 6): the
+    # doubling pipeline reaches its first exchange (the dense-rank
+    # distinct/sort) almost immediately, so the extra repartition cost more
+    # than the single-partition map work it parallelized (2.3 -> 3.5 s),
+    # unlike the census operators below where the explode+hash pass
+    # dominates (2-3x wins there).
     d = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")).filter(
         F.length("_t") >= 1
     )
@@ -364,10 +370,15 @@ def substring_pairs_sa(
     and the prefix-doubling fallback the r5 version carried are gone.
     ``suffix_ranks`` still produces the true full-depth lexicographic
     order for maximal-repeat analyses."""
+    from lash_spark.operators.normalize import fan_out
+
     d = docs.select(F.col(id_col), F.col(text_col))
     if candidates is not None:
         d = d.join(candidates.select(id_col).distinct(), id_col, "left_semi")
-    d2 = d.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    # the per-position explode+hash passes run on the INPUT partitioning —
+    # a single-file scan would run them single-core (measured ~2 s/pass at
+    # sf0.1 on 1 partition); no-op on well-partitioned inputs
+    d2 = fan_out(d.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
     keyed = _sa_group_keys(d2, min_len, id_col)
     return pairs_from_keys(keyed, id_col=id_col, max_bucket=max_bucket)
 
@@ -410,10 +421,14 @@ def repeated_windows(
     ALL its positions; a collision admits a spurious survivor group that
     the exact n_docs >= 2 filter then drops — work, never results. The
     raw key IS the window text, so the old text-recovery join is gone."""
+    from lash_spark.operators.normalize import fan_out
+
     src = docs.select(F.col(id_col), F.col(text_col))
     if candidates is not None:
         src = src.join(candidates.select(id_col).distinct(), id_col, "left_semi")
-    d = src.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    # fan out under-partitioned inputs before the per-position passes (see
+    # substring_pairs_sa)
+    d = fan_out(src.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
     pos_h = _window_pos_hashes(d, window)
     hot = (
         pos_h.groupBy("h")
