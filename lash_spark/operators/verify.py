@@ -97,6 +97,46 @@ def _inter_size_udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
 _inter_size_udf = _inter_size_udf.asNondeterministic()
 
 
+@F.pandas_udf(T.DoubleType())
+def _minhash_est_udf(ma: pd.Series, mb: pd.Series) -> pd.Series:
+    """MinHash register match fraction (U1), vectorized: one np.vstack per
+    Arrow batch and a single (A == B) row-sum. Value is EXACTLY
+    ``minhash_jaccard_expr``'s — an integer match count divided by the
+    register count, both IEEE doubles of the same exact operands — but the
+    interpreted zip_with+aggregate fold cost 2.4-2.9 s on the 50k-synth
+    verify (318k pairs x 128 registers) where this kernel, transfer
+    included, measures 1.2-1.3 s (guide §4.2: hand whole batches to
+    vectorized native code)."""
+    if len(ma) == 0:
+        return pd.Series(np.empty(0, dtype=np.float64))
+    A = np.vstack(ma.to_numpy())
+    B = np.vstack(mb.to_numpy())
+    return pd.Series((A == B).sum(axis=1) / float(A.shape[1]))
+
+
+# same non-determinism rationale as _inter_size_udf: block the est-threshold
+# filter from being substituted below the projection (double eval + double
+# minhash transfer); call sites reference the column, never the UDF twice
+_minhash_est_udf = _minhash_est_udf.asNondeterministic()
+
+
+def _est_jaccard_col(spark, mh_a, mh_b, set_hashes: int | None = None):
+    """The est_jaccard column for a verify join: the JVM fold below the
+    measured-volume floor (tiny pair sets — the Python round-trip costs
+    more than the whole fold, same sign as the intersect kernel), the
+    vectorized Arrow kernel above it. Shares ``lash.verify.intersect`` /
+    ``lash.verify.arrowMinHashes`` with the intersect engine — one
+    data-volume story per verify call, and ``jvm`` still forces the
+    all-JVM plan."""
+    engine = spark.conf.get("lash.verify.intersect", "auto")
+    if engine == "auto":
+        floor = int(spark.conf.get("lash.verify.arrowMinHashes", str(1_000_000)))
+        engine = "arrow" if set_hashes is None or set_hashes >= floor else "jvm"
+    if engine == "jvm":
+        return minhash_jaccard_expr(mh_a, mh_b)
+    return _minhash_est_udf(mh_a, mh_b)
+
+
 def _with_jaccard(df, spark, sh_a, sh_b, set_hashes: int | None = None):
     """Attach exact ``jaccard`` = |A∩B| / |A∪B| for the two shingle-set
     columns. The intersection size lands in its own projection, referenced
@@ -243,7 +283,10 @@ def _verify_joined_once(
     return (
         pairs.join(sa, F.col(a) == F.col(f"_va.{id_col}"))
         .join(sb, F.col(b) == F.col(f"_vb.{id_col}"))
-        .withColumn("est_jaccard", minhash_jaccard_expr(mh_a, mh_b))
+        .withColumn(
+            "est_jaccard",
+            _est_jaccard_col(pairs.sparkSession, mh_a, mh_b, st["tot"] or 0),
+        )
         .filter(F.col("est_jaccard") >= threshold - estimate_margin)
         .transform(
             lambda df: _with_jaccard(
@@ -300,12 +343,19 @@ def estimate_pairs(pairs: DataFrame, sig_df: DataFrame, id_col: str = "url") -> 
     if (st["tot"] or 0) * 4 + (st["n"] or 0) * 48 < _reuse_broadcast_cap(pairs.sparkSession):
         ma, mb = F.broadcast(ma), F.broadcast(mb)
     keep = [F.col(c) for c in pairs.columns] + [F.col("est_jaccard")]
+    # volume proxy for the engine gate: total member registers (the same
+    # role set_hashes plays on the set side — tiny corpora stay all-JVM)
     return (
         pairs.join(ma, F.col(a) == F.col(f"_ea.{id_col}"))
         .join(mb, F.col(b) == F.col(f"_eb.{id_col}"))
         .withColumn(
             "est_jaccard",
-            minhash_jaccard_expr(F.col("_ea.minhash"), F.col("_eb.minhash")),
+            _est_jaccard_col(
+                pairs.sparkSession,
+                F.col("_ea.minhash"),
+                F.col("_eb.minhash"),
+                st["tot"] or 0,
+            ),
         )
         .select(*keep)
     )
@@ -434,10 +484,14 @@ def cross_verify_pairs(
             )
             return F.broadcast(side) if side_bytes < thr else side
 
+        joined = pairs.join(_side(sig_q, q, "q"), q).join(_side(sig_r, r, "r"), r)
         return (
-            pairs.join(_side(sig_q, q, "q"), q)
-            .join(_side(sig_r, r, "r"), r)
-            .withColumn("est_jaccard", minhash_jaccard_expr("mh_q", "mh_r"))
+            joined.withColumn(
+                "est_jaccard",
+                _est_jaccard_col(
+                    spark, F.col("mh_q"), F.col("mh_r"), sum(side_hashes)
+                ),
+            )
             .filter(F.col("est_jaccard") >= threshold - estimate_margin)
             .transform(
                 lambda df: _with_jaccard(

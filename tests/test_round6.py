@@ -312,11 +312,14 @@ def test_intersect_arrow_kernel_matches_jvm(spark):
 
 
 def test_intersect_udf_single_eval_in_plan(spark):
-    """The verify plan must evaluate the intersect kernel ONCE per row:
-    exactly one ArrowEvalPython node, and the three jaccard-expression
-    references to the intersection must collapse into a single pythonUDF
-    slot inside it (deterministic-UDF dedup; the non-deterministic variant
-    evaluated the kernel 3x per row)."""
+    """The verify plan must evaluate each Arrow kernel ONCE per row and
+    keep the est short-circuit: exactly two ArrowEvalPython nodes (the
+    vectorized est kernel below, the intersect kernel above), each with a
+    single pythonUDF slot — if ExtractPythonUDFs fused them into one node
+    the intersect (and its shingle-array transfer) would run below the
+    est-threshold filter for every pair — and the est filter must sit
+    BETWEEN the two nodes so est-failing rows never reach the
+    intersection. No row-at-a-time BatchEvalPython anywhere."""
     from lash_spark.operators.lsh import lsh_candidate_pairs
     from lash_spark.operators.normalize import with_normalized_text
     from lash_spark.operators.signatures import build_signatures
@@ -336,8 +339,19 @@ def test_intersect_udf_single_eval_in_plan(spark):
         )
         assert verified.count() > 0
         plan = verified._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("ArrowEvalPython") == 1 and "BatchEvalPython" not in plan
+        assert plan.count("ArrowEvalPython") == 2 and "BatchEvalPython" not in plan
+        # one slot per node: a fused node would name a second slot
         assert "pythonUDF0" in plan and "pythonUDF1" not in plan
+        # single eval of each kernel
+        assert plan.count("_inter_size_udf") == 1
+        assert plan.count("_minhash_est_udf") == 1
+        # plan prints top-down: intersect node above, est node below, and
+        # the est-threshold filter between them (rows failing est never
+        # cross Arrow with shingle arrays)
+        i_inter = plan.index("_inter_size_udf")
+        i_est = plan.index("_minhash_est_udf")
+        i_filter = plan.index("Filter (isnotnull(pythonUDF0", i_inter)
+        assert i_inter < i_filter < i_est
     finally:
         spark.conf.unset("lash.verify.intersect")
     sigs.unpersist()
