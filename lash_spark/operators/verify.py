@@ -466,17 +466,39 @@ def cross_verify_pairs(
 
         side_hashes: list = []
 
-        def _side(sig, pair_col, suffix):
+        def _mk_side(sig, pair_col):
             ids = pairs.select(F.col(pair_col).alias(id_col)).distinct()
-            side = (
+            return (
                 sig.join(ids, id_col, "left_semi")
                 .select(F.col(id_col), F.col("minhash"), F.col("shingles"))
-                # lazy; the stats aggregate below materializes it (one job)
+                # lazy; the unioned stats aggregate below materializes BOTH
+                # sides' checkpoints in one Spark job (same one-action shape
+                # as _verify_joined_once / the cross-tier max fusion)
                 .localCheckpoint(eager=False)
             )
-            st = side.agg(
-                F.count(F.lit(1)).alias("n"), F.sum(F.size("shingles")).alias("tot")
-            ).first()
+
+        side_q_df, side_r_df = _mk_side(sig_q, q), _mk_side(sig_r, r)
+        stats = {
+            row["_s"]: row
+            for row in (
+                side_q_df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.size("shingles")).alias("tot"),
+                )
+                .withColumn("_s", F.lit("q"))
+                .unionByName(
+                    side_r_df.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.size("shingles")).alias("tot"),
+                    ).withColumn("_s", F.lit("r"))
+                )
+                .collect()
+            )
+        }
+
+        def _side(sig, pair_col, suffix):
+            side = side_q_df if suffix == "q" else side_r_df
+            st = stats[suffix]
             side_hashes.append(st["tot"] or 0)
             side_bytes = (st["tot"] or 0) * 8 + (st["n"] or 0) * 576
             side = side.withColumnsRenamed(
