@@ -165,8 +165,17 @@ class ParquetCatalog:
 
     def mark_partitions(self, stage: str, params_hash: str, parts, output_rows=None):
         now = time.time()
+        import pandas as pd
+
+        # pandas-backed (LocalTableScan): list-backed createDataFrame plans
+        # as a pickled-RDD scan costing ~2.3 s per commit (measured r6) —
+        # paid per stage commit AND per streaming trigger
         df = self.spark.createDataFrame(
-            [(stage, params_hash, str(p), output_rows, now) for p in parts],
+            pd.DataFrame(
+                [(stage, params_hash, str(p), output_rows, now) for p in parts],
+                columns=["stage", "params_hash", "part", "output_rows", "ts"],
+                dtype=object,
+            ),
             "stage string, params_hash string, part string, output_rows bigint, ts double",
         )
         self.append(df, self._manifest(stage))
@@ -192,8 +201,11 @@ class ParquetCatalog:
             "ts": time.time(),
             "extra": json.dumps(extra, sort_keys=True) if extra else None,
         }
+        import pandas as pd
+
+        # pandas-backed (LocalTableScan) — same rationale as mark_partitions
         df = self.spark.createDataFrame(
-            [row],
+            pd.DataFrame([row], dtype=object),
             "stage string, params_hash string, wall_ms double, input_rows bigint, "
             "output_rows bigint, status string, ts double, extra string",
         )

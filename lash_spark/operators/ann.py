@@ -319,9 +319,16 @@ def ivf_fit(
     assigned = c.withColumn("cell", _make_cell_udf(centers)(F.col("cu"))).select(
         "item_id", "cv", "cell", norm_expr(F.col("cv")).alias("c_norm")
     )
-    # centroid table is tiny (n_lists rows) — broadcast to score query->cell
+    # centroid table is tiny (n_lists rows) — broadcast to score query->cell.
+    # Built from a PANDAS frame, not a python list: list-backed
+    # createDataFrame plans as a pickled-RDD scan whose Python stage cost
+    # ~2.3 s on EVERY action touching the frame (measured round 6 — this
+    # was the unexplained 'scheduler floor' of ivf_probe); the pandas/Arrow
+    # path plans as a LocalTableScan (~0.1 s).
     cent = spark.createDataFrame(
-        [(i, [float(v) for v in ctr]) for i, ctr in enumerate(centers)],
+        pd.DataFrame(
+            {"cell": range(len(centers)), "centroid": [list(map(float, c)) for c in centers]}
+        ),
         "cell int, centroid array<double>",
     )
     return IvfIndex(assigned=assigned, centroids=cent, n_lists=n_lists)

@@ -127,8 +127,17 @@ def pairs_from_keys(
                 "salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)).cast("int")
             )
         )
+        # pandas-backed local frame: a python-LIST createDataFrame plans as
+        # a pickled-RDD scan costing ~2.3 s of Python-stage overhead on
+        # every action that touches the salt tier (measured round 6); the
+        # pandas/Arrow path is a LocalTableScan
+        import pandas as pd
+
         blocks = spark.createDataFrame(
-            [(i, j) for i in range(salt_buckets) for j in range(i, salt_buckets)],
+            pd.DataFrame(
+                [(i, j) for i in range(salt_buckets) for j in range(i, salt_buckets)],
+                columns=["bi", "bj"],
+            ),
             "bi int, bj int",
         )
         rep = warm.join(
